@@ -1,0 +1,37 @@
+"""meshdqn_tpu — a TPU-native framework for DRL-driven CFD mesh coarsening.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of BaratiLab/MeshDQN
+(reference layout: flow_solver.py, probes.py, Env2DAirfoil.py, airfoilgcnn.py,
+airfoil_dqn.py, deploy_dqn.py).  Nothing here is a translation: the compute path
+is built around XLA's compilation model — static padded shapes, precomputed
+dense factorizations applied as matvecs/matmuls on the MXU, vmapped element
+kernels, and `lax.scan` time-stepping — with host-side NumPy only for one-time
+mesh topology work (loading, re-triangulation).
+
+Subpackages
+-----------
+mesh/      padded unstructured-mesh structures, XDMF I/O, smoothing, boundary marking
+fem/       P2/P1 Taylor–Hood tabulation, quadrature, operator assembly, Dirichlet BCs
+solver/    IPCS Navier–Stokes stepper (assemble-once, solve-many) on device
+probes.py  drag/lift boundary-stress functionals (linear in (u, p))
+transfer/  cross-mesh solution interpolation (point location + barycentric eval)
+coarsen/   vertex removal, Delaunay re-triangulation, hole carving, validity checks
+env/       functional RL environment over the mesh
+models/    graph networks (SAGE/GCN conv, TopK pooling) on padded graphs
+ops/       low-level device ops (segment ops, ELL SpMV, Pallas kernels)
+rl/        replay buffer, double-DQN update, schedules
+train/     training driver, checkpointing (orbax), metrics
+deploy/    greedy policy rollout + full re-simulation verification
+analysis/  artifact analysis compatible with the reference's .npy layout
+parallel/  device-mesh / sharding helpers
+utils/     config, timers, logging
+"""
+
+import jax
+
+# The FEM/solver path needs f64: drag is an O(0.1) quantity verified to 1e-4
+# absolute against the reference (SURVEY.md §6), accumulated over 5000 steps.
+# NN/RL code pins float32 explicitly and is unaffected.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

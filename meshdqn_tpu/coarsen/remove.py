@@ -1,0 +1,111 @@
+"""Vertex removal + global Delaunay re-triangulation + hole carving.
+
+Replicates the effective behaviour of the reference's `_remove_vertex`
+(Env2DAirfoil.py:452-512):
+
+1. delete the chosen vertex's coordinate row;
+2. re-triangulate ALL remaining points with a global Delaunay (the reference
+   uses scipy/Qhull; the convex triangulation fills the carved airfoil
+   hole and the full channel rectangle);
+3. drop every cell whose three vertices are all boundary vertices of the
+   *pre-removal* mesh — this carves the airfoil hole back out
+   (Env2DAirfoil.py:496);
+4. build the new mesh; validity failures roll back (return the old mesh).
+
+The reference also mutates `cells` before the Delaunay call
+(Env2DAirfoil.py:475-477) — dead code, since the fresh triangulation
+discards it (SURVEY.md §2a) — not replicated.
+
+Host-side by design: re-triangulation is irregular integer work the TPU has
+no business doing; everything downstream of it (interpolation, probes,
+rewards) is device code.  A quality gate (`min_quality`) catches the
+degenerate slivers Delaunay can produce along the airfoil; the reference
+instead discovers these later as solver/interpolation failures and also
+rolls back, with the same episode-level outcome (negative reward).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+
+import numpy as np
+from scipy.spatial import Delaunay, QhullError
+
+from ..mesh import TriMesh
+
+
+class RemovalStatus(IntEnum):
+    """Matches the reference's return codes (Env2DAirfoil.py:342-364)."""
+
+    OK = 0
+    ALREADY_REMOVED = 1
+    BROKE_MESH = 2
+
+
+@dataclass
+class RemovalResult:
+    status: RemovalStatus
+    mesh: TriMesh | None  # new mesh if OK else None
+    removed_coordinate: np.ndarray | None
+
+
+def remove_vertex(
+    mesh: TriMesh,
+    vertex: int,
+    removable_mask: np.ndarray | None = None,
+    min_area: float = 1e-14,
+) -> RemovalResult:
+    """Remove `vertex` (index into mesh.coords) and re-triangulate.
+
+    removable_mask: (V,) bool; non-removable (boundary) vertices may not be
+    deleted — mirrors the `selected_coord in self.removable` guard
+    (Env2DAirfoil.py:549).
+    """
+    V = mesh.num_vertices
+    if vertex < 0 or vertex >= V:
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+    if removable_mask is None:
+        removable_mask = ~mesh.boundary_vertex_mask
+    if not removable_mask[vertex]:
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+
+    coords = mesh.coords
+    removed_coord = coords[vertex].copy()
+
+    # Boundary vertices of the current mesh, reindexed after deletion
+    # (Env2DAirfoil.py:464-477).
+    boundary = mesh.boundary_vertices().astype(np.int64)
+    boundary = boundary[boundary != vertex]
+    boundary = np.where(boundary > vertex, boundary - 1, boundary)
+
+    new_coords = np.delete(coords, vertex, axis=0)
+
+    try:
+        tri = Delaunay(new_coords)
+    except (QhullError, ValueError):
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+
+    cells = tri.simplices.astype(np.int32)
+    # Hole carving: drop cells made only of boundary vertices
+    # (Env2DAirfoil.py:496).  Note this is the *reference's* rule: it also
+    # removes any all-boundary sliver along the outer walls.
+    keep = np.sum(np.isin(cells, boundary), axis=1) != 3
+    cells = cells[keep]
+
+    if len(cells) == 0:
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+
+    new_mesh = TriMesh(coords=new_coords, cells=cells)
+
+    # Validity: no degenerate cells, every vertex still referenced.
+    if new_mesh.cell_volumes().min() < min_area:
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+    used = np.zeros(len(new_coords), dtype=bool)
+    used[cells.ravel()] = True
+    if not used.all():
+        # Orphan vertex: interpolation/probes would operate on a mesh that
+        # no longer covers it -> treat as broken (reference hits this as a
+        # dolfin failure later and rolls back likewise).
+        return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
+
+    return RemovalResult(RemovalStatus.OK, new_mesh, removed_coord)

@@ -1,0 +1,308 @@
+"""RL environment: coarsen the airfoil mesh while preserving drag/lift.
+
+Re-design of the reference's Env2DAirfoil (Env2DAirfoil.py:42-602) with the
+same MDP semantics:
+
+* one ground-truth transient solve up front produces S flow snapshots and
+  their drag/lift values (Env2DAirfoil.py:111-125);
+* an episode step removes one mesh vertex (or shifts the observation window
+  for the "do nothing" action, :330-331), re-triangulates, interpolates the
+  ORIGINAL snapshots onto the new mesh, and re-integrates the force probes —
+  no further simulation (:380-428);
+* observation = graph over the N_closest removable vertices nearest the
+  airfoil (:293-315);
+* reward = 2 exp(-K err) - 1 + removals * time_reward with
+  K = -2 ln(0.5)/threshold, err the 2-norm of per-snapshot relative drag
+  errors (:407-414); -1 and termination on a broken mesh;
+* episode ends when any snapshot's drag error exceeds `threshold`, the
+  vertex count drops below goal_vertices * V0, timesteps run out, or the
+  mesh breaks (:417-428, :368-369).
+
+Faithful-bug policy (SURVEY.md §2a): on accuracy/vertex-floor termination
+the reference *intends* a -0.5 reward but assigns it to a dead attribute and
+returns the ordinary reward (Env2DAirfoil.py:349); `terminal_penalty=False`
+(default) reproduces that, True applies the intended -0.5.
+
+Host/device split: re-triangulation (scipy Delaunay) and bookkeeping live on
+host; interpolation, probe integration and observation features are device
+code with static shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..coarsen import RemovalStatus, remove_vertex
+from ..mesh import TriMesh, airfoil_polyline, mark_boundaries, read_xdmf, smooth
+from ..probes import drag_probe, lift_probe
+from ..solver import IPCSConfig, IPCSSolver
+from ..transfer import SnapshotSet, SnapshotTransfer
+from ..utils import Config
+from .graph import GraphState, build_graph_state, polyline_distance
+
+NEGATIVE_REWARD = -1.0
+
+
+@dataclass
+class GroundTruth:
+    """Frozen products of the one-time ground-truth solve."""
+
+    mesh: TriMesh  # the (smoothed) simulation mesh
+    snapshots: SnapshotSet  # S snapshots of (u, p) on `mesh`
+    gt_drag: np.ndarray  # (S,)
+    gt_lift: np.ndarray  # (S,)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            coords=self.mesh.coords,
+            cells=self.mesh.cells,
+            u=self.snapshots.u,
+            p=self.snapshots.p,
+            gt_drag=self.gt_drag,
+            gt_lift=self.gt_lift,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GroundTruth":
+        z = np.load(path)
+        return cls(
+            mesh=TriMesh(coords=z["coords"], cells=z["cells"]),
+            snapshots=SnapshotSet(u=z["u"], p=z["p"]),
+            gt_drag=z["gt_drag"],
+            gt_lift=z["gt_lift"],
+        )
+
+
+def compute_ground_truth(config: Config) -> GroundTruth:
+    """Run the up-front transient solve (Env2DAirfoil.py:111-125)."""
+    mesh = read_xdmf(config.flow.mesh)
+    if config.flow.smooth:
+        mesh = smooth(mesh, 50)
+    solver = IPCSSolver(
+        mesh,
+        IPCSConfig(
+            mu=config.flow.mu,
+            rho=config.flow.rho,
+            dt=config.flow.dt,
+            precision=config.flow.precision,
+            refine_iters=config.flow.refine_iters,
+        ),
+    )
+    out = solver.solve(config.agent.solver_steps, save_steps=config.agent.save_steps)
+    u = np.stack([np.asarray(s.u) for s in out["snapshots"]])
+    p = np.stack([np.asarray(s.p) for s in out["snapshots"]])
+    return GroundTruth(
+        mesh=mesh,
+        snapshots=SnapshotSet(u=u, p=p),
+        gt_drag=out["snap_drags"],
+        gt_lift=out["snap_lifts"],
+    )
+
+
+@dataclass
+class StepInfo:
+    removed: int  # RemovalStatus-compatible code
+    drags: np.ndarray | None = None
+    lifts: np.ndarray | None = None
+    num_vertices: int = 0
+    broken: bool = False
+    terminal_reason: str = ""
+
+
+class AirfoilEnv:
+    """gym-style Env: reset() -> obs; step(a) -> (obs, reward, done, info)."""
+
+    def __init__(self, config: Config, ground_truth: GroundTruth | None = None):
+        self.config = config
+        if ground_truth is None:
+            ground_truth = compute_ground_truth(config)
+        self.gt = ground_truth
+
+        agent = config.agent
+        self.n_closest = agent.N_closest
+        self.action_space_n = agent.N_closest  # actions 0..N-1 remove; N = shift
+        self.threshold = agent.threshold
+        self.time_reward = agent.time_reward
+        self.timesteps = agent.timesteps
+        self.goal_vertices = agent.goal_vertices
+        self.edge_budget = agent.edge_budget
+        self.terminal_penalty = agent.terminal_penalty
+
+        # Fixed across the whole job:
+        self.initial_num_nodes = ground_truth.mesh.num_vertices
+        self.transfer = SnapshotTransfer(ground_truth.mesh, ground_truth.snapshots)
+        # Airfoil ring from the ORIGINAL mesh — the reference builds its
+        # polygon once and reuses it (Env2DAirfoil.py:223-233).
+        self.ring = airfoil_polyline(ground_truth.mesh)
+        self.gt_drag = np.asarray(ground_truth.gt_drag, dtype=np.float64)
+        self.gt_lift = np.asarray(ground_truth.gt_lift, dtype=np.float64)
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self) -> GraphState:
+        self.mesh = self.gt.mesh
+        self.snaps = self.gt.snapshots
+        self._refresh_mesh_products()
+        self.steps = 0
+        self.do_nothing_offset = 0
+        self.terminal = False
+        self.out_of_vertices = False
+        self.removed_coordinates: list[np.ndarray] = []
+        return self.get_state()
+
+    def _refresh_mesh_products(self):
+        """Per-mesh derived data: markers, probes, features, removable set."""
+        self.markers = mark_boundaries(self.mesh)
+        mu = self.config.flow.mu
+        self._drag_probe = drag_probe(self.mesh, self.markers, mu)
+        self._lift_probe = lift_probe(self.mesh, self.markers, mu)
+        self.removable = np.flatnonzero(~self.mesh.boundary_vertex_mask)
+        self.velocities, self.pressures = self.transfer.vertex_fields(
+            self.mesh, self.snaps
+        )
+
+    # ------------------------------------------------------------------
+    def _window(self) -> np.ndarray:
+        """The N_closest removable vertices nearest the airfoil, shifted by
+        the do-nothing offset (Env2DAirfoil.py:293-315)."""
+        d = polyline_distance(self.mesh.coords[self.removable], self.ring)
+        order = np.argsort(d, kind="stable")
+        sel = order[self.do_nothing_offset : self.n_closest + self.do_nothing_offset]
+        if len(sel) < self.n_closest:
+            self.out_of_vertices = True
+        return self.removable[sel]
+
+    def get_state(self) -> GraphState:
+        self._current_window = self._window()
+        return build_graph_state(
+            self.mesh.coords,
+            self.mesh.cells,
+            self._current_window,
+            self.velocities,
+            self.pressures,
+            self.n_closest,
+            self.edge_budget,
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, action: int):
+        info = StepInfo(removed=0, num_vertices=self.mesh.num_vertices)
+        broken = False
+
+        if action == self.action_space_n:
+            # Do-nothing: shift the window (Env2DAirfoil.py:330-331).
+            self.do_nothing_offset += 1
+            removed = 0
+        else:
+            removed = self._remove(action)
+        info.removed = removed
+
+        state = self.get_state()
+        if self.out_of_vertices:
+            removed = 2
+            info.terminal_reason = "out_of_vertices"
+
+        if removed == 0:
+            rew, broken, self.terminal = self.calculate_reward(info)
+            if self.terminal and self.terminal_penalty:
+                rew = 0.5 * NEGATIVE_REWARD
+            if broken:
+                rew = NEGATIVE_REWARD
+                self.terminal = True
+        elif removed == 1:
+            rew = NEGATIVE_REWARD
+        else:  # removed == 2
+            rew = NEGATIVE_REWARD
+            self.terminal = True
+            broken = True
+            info.terminal_reason = info.terminal_reason or "broken_mesh"
+
+        self.steps += 1
+        if self.steps >= self.timesteps:
+            self.terminal = True
+            info.terminal_reason = info.terminal_reason or "timesteps"
+
+        if np.isnan(rew):
+            rew = NEGATIVE_REWARD
+
+        info.broken = broken
+        info.num_vertices = self.mesh.num_vertices
+        return state, float(rew), self.terminal, info
+
+    # ------------------------------------------------------------------
+    def _remove(self, action: int) -> int:
+        window = getattr(self, "_current_window", None)
+        if window is None:
+            window = self._window()
+        if action >= len(window):
+            return 2  # ran out of vertices (Env2DAirfoil.py:456-458)
+        vertex = int(window[action])
+
+        res = remove_vertex(
+            self.mesh, vertex, removable_mask=~self.mesh.boundary_vertex_mask
+        )
+        if res.status != RemovalStatus.OK:
+            return int(res.status)
+
+        new_mesh = res.mesh
+        # remesh(): smooth again on every remesh (flow_solver.py:236-237).
+        if self.config.flow.smooth:
+            new_mesh = smooth(new_mesh, 50)
+
+        # Interpolate snapshots from the ORIGINAL mesh (Env2DAirfoil.py:556-568).
+        try:
+            new_snaps = self.transfer.to_mesh(new_mesh)
+        except Exception:
+            return 2  # "INTERPOLATION BROKE" path -> rollback
+
+        if not (
+            np.isfinite(new_snaps.u).all() and np.isfinite(new_snaps.p).all()
+        ):
+            return 2
+
+        self.removed_coordinates.append(res.removed_coordinate)
+        self.mesh = new_mesh
+        self.snaps = new_snaps
+        self._refresh_mesh_products()
+        return 0
+
+    # ------------------------------------------------------------------
+    def calculate_reward(self, info: StepInfo | None = None):
+        """(reward, broken, terminal) — Env2DAirfoil.py:380-428."""
+        try:
+            drags = np.array(
+                [self._drag_probe.sample(u, p) for u, p in zip(self.snaps.u, self.snaps.p)]
+            )
+            lifts = np.array(
+                [self._lift_probe.sample(u, p) for u, p in zip(self.snaps.u, self.snaps.p)]
+            )
+        except Exception:
+            return NEGATIVE_REWARD, True, True  # "SAMPLING BROKE"
+
+        self.new_drags = drags
+        self.new_lifts = lifts
+        if info is not None:
+            info.drags = drags
+            info.lifts = lifts
+
+        rel_err = np.abs(self.gt_drag - drags) / np.abs(self.gt_drag)
+        drag_factor = -2.0 * np.log(0.5) / self.threshold
+        error_val = np.linalg.norm(rel_err)
+        drag_reward = 2.0 * np.exp(-drag_factor * error_val) - 1.0
+
+        removed_count = self.initial_num_nodes - self.mesh.num_vertices
+        time_reward = removed_count * self.time_reward
+
+        acc_thresh = bool(np.any(rel_err > self.threshold))
+        vert_thresh = (
+            self.mesh.num_vertices < self.goal_vertices * self.initial_num_nodes
+        )
+        if info is not None and (acc_thresh or vert_thresh):
+            info.terminal_reason = "accuracy" if acc_thresh else "vertex_floor"
+
+        if np.isnan(drag_reward):
+            return NEGATIVE_REWARD, True, True
+        return drag_reward + time_reward, False, (acc_thresh or vert_thresh)

@@ -1,0 +1,91 @@
+"""Per-step convection assembly kernel: c(u)_[(a,i)] = (rho (u.grad)u, Phi_a).
+
+The only nonlinear term in the IPCS step-1 RHS (flow_solver.py:107).  Runs on
+device every time step: gather the 12 local velocity dofs per cell, evaluate
+u and grad(u) at the quadrature points, contract with the test basis, and
+segment-sum into the global vector.  All shapes static; vmap over cells.
+
+Tabulation data is built once per mesh on host (ConvectionKernel.build).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.reference import dunavant_6, p2_basis, p2_grads
+from ..fem.assembly import cell_jacobians
+from ..fem.spaces import VectorP2Space
+from ..mesh import TriMesh
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ConvectionKernel:
+    """Static per-mesh tabulation for the convection vector.
+
+    cell_dofs : (C, 12) int32 — global dofs (6 x-comp, 6 y-comp)
+    phi_w     : (Q, 6) f64 basis values (shared across cells)
+    gphys     : (C, Q, 6, 2) f64 physical gradients
+    wdet      : (C, Q) f64 quadrature weight * |det J|
+    ndofs     : static output size (2 Ns)
+    """
+
+    cell_dofs: jnp.ndarray
+    phi: jnp.ndarray
+    gphys: jnp.ndarray
+    wdet: jnp.ndarray
+    ndofs: int
+
+    def tree_flatten(self):
+        return (self.cell_dofs, self.phi, self.gphys, self.wdet), self.ndofs
+
+    @classmethod
+    def tree_unflatten(cls, ndofs, children):
+        return cls(*children, ndofs)
+
+    @classmethod
+    def build(cls, mesh: TriMesh) -> "ConvectionKernel":
+        pts, w = dunavant_6()
+        phi = p2_basis(pts)
+        gref = p2_grads(pts)
+        _, absdet, Jinv = cell_jacobians(mesh)
+        gphys = np.einsum("qad,cde->cqae", gref, Jinv)
+        wdet = w[None, :] * absdet[:, None]
+        V = VectorP2Space(mesh)
+        return cls(
+            cell_dofs=jnp.asarray(V.cell_dofs()),
+            phi=jnp.asarray(phi),
+            gphys=jnp.asarray(gphys),
+            wdet=jnp.asarray(wdet),
+            ndofs=V.ndofs,
+        )
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return convection_vector(self, u)
+
+
+@partial(jax.jit, static_argnames=())
+def convection_vector(k: ConvectionKernel, u: jnp.ndarray) -> jnp.ndarray:
+    """Assemble ((u.grad)u, v) for the velocity field u (2Ns,)."""
+    Ue = u[k.cell_dofs]  # (C, 12)
+    Ux, Uy = Ue[:, :6], Ue[:, 6:]
+    # u at quadrature points: (C, Q)
+    uxq = jnp.einsum("qa,ca->cq", k.phi, Ux)
+    uyq = jnp.einsum("qa,ca->cq", k.phi, Uy)
+    # grad u at quadrature points: du_i/dx_j -> (C, Q, j)
+    dux = jnp.einsum("cqad,ca->cqd", k.gphys, Ux)  # (C,Q,2)
+    duy = jnp.einsum("cqad,ca->cqd", k.gphys, Uy)
+    # convection components (u . grad) u
+    conv_x = uxq * dux[..., 0] + uyq * dux[..., 1]  # (C,Q)
+    conv_y = uxq * duy[..., 0] + uyq * duy[..., 1]
+    # element vectors: r[(a,i)] = sum_q wdet conv_i phi_a
+    rx = jnp.einsum("cq,qa->ca", k.wdet * conv_x, k.phi)  # (C,6)
+    ry = jnp.einsum("cq,qa->ca", k.wdet * conv_y, k.phi)
+    relem = jnp.concatenate([rx, ry], axis=1)  # (C,12)
+    return jax.ops.segment_sum(
+        relem.ravel(), k.cell_dofs.ravel(), num_segments=k.ndofs
+    )

@@ -1,0 +1,88 @@
+"""Drag/lift boundary-stress probes.
+
+Reference semantics (probes.py:13-50): the force functional over tagged
+exterior facets
+
+    F_e(u, p) = int_{ds(tag)} (sigma(u, p) . n) . e ds,
+    sigma = 2 mu sym(grad u) - p I,
+
+with e = (1,0) for drag, (0,1) for lift, n the outward facet normal and tag 1
+the airfoil surface.  The functional is LINEAR in (u, p), so we assemble it
+once per mesh into a pair of vectors (d_u, d_p); per-sample cost is two dot
+products — this is what makes per-step drag tracking free on device
+(cf. flow_solver.py:385-389 which re-assembles the UFL form every step).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .mesh import TriMesh, BoundaryMarkers, AIRFOIL
+from .fem.reference import gauss_legendre_1d, p1_basis, p2_grads, facet_points
+from .fem.assembly import cell_jacobians, _strain_basis
+from .fem.spaces import P1Space, VectorP2Space
+
+
+@dataclass
+class ForceProbe:
+    """Linear functional F(u, p) = d_u . u + d_p . p."""
+
+    d_u: np.ndarray  # (2Ns,)
+    d_p: np.ndarray  # (Np,)
+
+    def sample(self, u, p) -> float:
+        return float(self.d_u @ u + self.d_p @ p)
+
+
+def assemble_force_probe(
+    mesh: TriMesh,
+    markers: BoundaryMarkers,
+    mu: float,
+    direction: tuple,
+    tags: tuple = (AIRFOIL,),
+) -> ForceProbe:
+    V = VectorP2Space(mesh)
+    Q = P1Space(mesh)
+    e = np.asarray(direction, dtype=np.float64)
+
+    sel = np.isin(markers.markers, tags)
+    fc = mesh.facet_cells[sel]
+    fl = mesh.facet_local[sel]
+    facets = mesh.boundary_facets[sel]
+    n = mesh.facet_normals()[sel]  # (F,2)
+    L = mesh.facet_lengths()[sel]
+
+    t1d, w1d = gauss_legendre_1d(3)
+    K = len(t1d)
+    F = len(fc)
+    ref_pts = np.stack([facet_points(l, t1d) for l in range(3)])  # (3,K,2)
+    fref = ref_pts[fl]  # (F,K,2)
+    flat = fref.reshape(-1, 2)
+
+    _, _, Jinv = cell_jacobians(mesh)
+    g2f = np.einsum(
+        "fkad,fde->fkae", p2_grads(flat).reshape(F, K, 6, 2), Jinv[fc]
+    )  # (F,K,6,2)
+    phi1f = p1_basis(flat).reshape(F, K, 3)
+    W = w1d[None, :] * L[:, None]  # (F,K)
+
+    # Velocity part: 2 mu (eps(Phi) n) . e per local vector dof.
+    E = _strain_basis(g2f)  # (F,K,12,2,2)
+    contrib_u = 2.0 * mu * np.einsum("fk,fkaij,fj,i->fa", W, E, n, e)  # (F,12)
+    # Pressure part: -(n . e) int phi_b
+    contrib_p = -np.einsum("fk,fkb,f->fb", W, phi1f, n @ e)  # (F,3)
+
+    d_u = np.zeros(V.ndofs)
+    d_p = np.zeros(Q.ndofs)
+    np.add.at(d_u, V.cell_dofs()[fc].ravel(), contrib_u.ravel())
+    np.add.at(d_p, Q.cell_dofs()[fc].ravel(), contrib_p.ravel())
+    return ForceProbe(d_u=d_u, d_p=d_p)
+
+
+def drag_probe(mesh, markers, mu, tags=(AIRFOIL,)) -> ForceProbe:
+    return assemble_force_probe(mesh, markers, mu, (1.0, 0.0), tags)
+
+
+def lift_probe(mesh, markers, mu, tags=(AIRFOIL,)) -> ForceProbe:
+    return assemble_force_probe(mesh, markers, mu, (0.0, 1.0), tags)

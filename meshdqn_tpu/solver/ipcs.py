@@ -1,0 +1,249 @@
+"""IPCS incompressible Navier–Stokes stepper, TPU-native.
+
+Same discretization as the reference (flow_solver.py:47-191): Taylor–Hood
+P2/P1, explicit convection, Crank–Nicolson viscosity, 3-step IPCS splitting
+with constant system matrices.  The reference leans on MUMPS LU back-solves
+per step (flow_solver.py:150-159); sparse triangular solves are hostile to
+the TPU, so the design is assemble-once / invert-once / matvec-many:
+
+* the three BC-eliminated system matrices are inverted ONCE on host (f64
+  LAPACK) and shipped to device dense — applying an inverse is a single
+  HBM-bandwidth-bound matvec that XLA maps onto the MXU, and it batches over
+  multiple flows as a matmul;
+* every linear RHS piece is a constant sparse operator in ELL layout
+  (ops/sparse.py);
+* the one nonlinear term is a vmapped element kernel (ops/convection.py);
+* drag/lift are precomputed linear functionals (probes.py) — two dots/step;
+* the whole time loop is a `lax.scan`, compiled once; all operator data is
+  passed to the jitted function as a pytree argument (never baked into HLO).
+
+Precision modes:
+  'f64'   — everything f64 (reference-accurate; default).
+  'mixed' — inverses stored f32 and applied on the MXU, followed by
+            `refine_iters` rounds of f64 iterative refinement against the
+            sparse residual.  Direct-solver accuracy at f32 matvec cost.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..fem.assembly import apply_bc_symmetric, assemble_operators
+from ..mesh import TriMesh, mark_boundaries
+from ..ops.convection import ConvectionKernel
+from ..ops.sparse import EllMatrix
+from ..probes import drag_probe, lift_probe
+
+
+class FlowState(NamedTuple):
+    """Velocity/pressure dof vectors on the solver's mesh."""
+
+    u: jnp.ndarray  # (2Ns,)
+    p: jnp.ndarray  # (Np,)
+
+
+class DeviceOperators(NamedTuple):
+    """Everything the jitted step needs, as a pytree of device arrays."""
+
+    A1inv: jnp.ndarray
+    A2inv: jnp.ndarray
+    A3inv: jnp.ndarray
+    A1bc: Optional[EllMatrix]  # only in 'mixed' mode
+    A2bc: Optional[EllMatrix]
+    A3bc: Optional[EllMatrix]
+    R1: EllMatrix
+    P1m: EllMatrix  # B - Bn
+    Kp: EllMatrix
+    BT: EllMatrix
+    M: EllMatrix
+    G: EllMatrix
+    z_u: jnp.ndarray
+    z_p: jnp.ndarray
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    t3: jnp.ndarray
+    conv: ConvectionKernel
+    drag_u: jnp.ndarray
+    drag_p: jnp.ndarray
+    lift_u: jnp.ndarray
+    lift_p: jnp.ndarray
+    rho: jnp.ndarray  # scalars as 0-d arrays
+    dt: jnp.ndarray
+
+
+def _solve(dev_inv, ell, b, precision: str, refine_iters: int):
+    if precision == "f64":
+        return dev_inv @ b
+    x = (dev_inv @ b.astype(jnp.float32)).astype(jnp.float64)
+    for _ in range(refine_iters):
+        r = b - (ell @ x)
+        x = x + (dev_inv @ r.astype(jnp.float32)).astype(jnp.float64)
+    return x
+
+
+def ipcs_step(dev: DeviceOperators, state: FlowState, precision: str, refine_iters: int):
+    """One IPCS time step; returns (new_state, (drag, lift))."""
+    u_n, p_n = state
+    c = dev.conv(u_n)
+    # Step 1: tentative velocity
+    b1 = (dev.R1 @ u_n) + (dev.P1m @ p_n) - dev.rho * c
+    b1 = b1 * dev.z_u + dev.t1
+    u_star = _solve(dev.A1inv, dev.A1bc, b1, precision, refine_iters)
+    # Step 2: pressure correction
+    b2 = (dev.Kp @ p_n) - (dev.BT @ u_star) / dev.dt
+    b2 = b2 * dev.z_p + dev.t2
+    p_new = _solve(dev.A2inv, dev.A2bc, b2, precision, refine_iters)
+    # Step 3: velocity correction
+    b3 = (dev.M @ u_star) - dev.dt * (dev.G @ (p_new - p_n))
+    b3 = b3 * dev.z_u + dev.t3
+    u_new = _solve(dev.A3inv, dev.A3bc, b3, precision, refine_iters)
+
+    new_state = FlowState(u=u_new, p=p_new)
+    drag = dev.drag_u @ u_new + dev.drag_p @ p_new
+    lift = dev.lift_u @ u_new + dev.lift_p @ p_new
+    return new_state, (drag, lift)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "precision", "refine_iters"))
+def evolve_n(dev: DeviceOperators, state: FlowState, n_steps: int,
+             precision: str, refine_iters: int):
+    def body(s, _):
+        return ipcs_step(dev, s, precision, refine_iters)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+@dataclass
+class IPCSConfig:
+    mu: float = 1e-3
+    rho: float = 1.0
+    dt: float = 1e-3
+    precision: str = "f64"  # 'f64' | 'mixed'
+    refine_iters: int = 2  # for 'mixed'
+
+
+class IPCSSolver:
+    """Assemble-once IPCS stepper for one mesh.
+
+    Parameters mirror the reference's flow/solver params
+    (configs/ray_ys930.yaml:2-10).
+    """
+
+    def __init__(self, mesh: TriMesh, config: IPCSConfig | None = None):
+        self.config = config or IPCSConfig()
+        cfg = self.config
+        self.mesh = mesh
+        self.markers = mark_boundaries(mesh)
+        ops = assemble_operators(mesh, self.markers, cfg.mu, cfg.rho, cfg.dt)
+        self.operators = ops
+        self.ndofs_u = ops.V.ndofs
+        self.ndofs_p = ops.Q.ndofs
+
+        # --- BC-eliminated systems, inverted once on host ---------------
+        A1, A2, A3 = ops.A1, ops.A2, ops.A3
+        A1bc = apply_bc_symmetric(A1, ops.u_bc_mask)
+        A2bc = apply_bc_symmetric(A2, ops.p_bc_mask)
+        A3bc = apply_bc_symmetric(A3, ops.u_bc_mask)
+
+        mixed = cfg.precision == "mixed"
+        inv_dtype = np.float32 if mixed else np.float64
+        A1i = scipy.linalg.inv(A1bc.toarray(), overwrite_a=True).astype(inv_dtype)
+        A2i = scipy.linalg.inv(A2bc.toarray(), overwrite_a=True).astype(inv_dtype)
+        A3i = scipy.linalg.inv(A3bc.toarray(), overwrite_a=True).astype(inv_dtype)
+
+        gu, gp = ops.u_bc_values, ops.p_bc_values
+        zu = (~ops.u_bc_mask).astype(np.float64)
+        zp = (~ops.p_bc_mask).astype(np.float64)
+
+        dprobe = drag_probe(mesh, self.markers, cfg.mu)
+        lprobe = lift_probe(mesh, self.markers, cfg.mu)
+        self.drag = dprobe
+        self.lift = lprobe
+
+        self.dev = DeviceOperators(
+            A1inv=jnp.asarray(A1i),
+            A2inv=jnp.asarray(A2i),
+            A3inv=jnp.asarray(A3i),
+            A1bc=EllMatrix.from_scipy(A1bc) if mixed else None,
+            A2bc=EllMatrix.from_scipy(A2bc) if mixed else None,
+            A3bc=EllMatrix.from_scipy(A3bc) if mixed else None,
+            R1=EllMatrix.from_scipy(ops.R1),
+            P1m=EllMatrix.from_scipy(ops.B - ops.Bn),
+            Kp=EllMatrix.from_scipy(ops.Kp),
+            BT=EllMatrix.from_scipy(ops.B.T.tocsr()),
+            M=EllMatrix.from_scipy(ops.M),
+            G=EllMatrix.from_scipy(ops.G),
+            z_u=jnp.asarray(zu),
+            z_p=jnp.asarray(zp),
+            t1=jnp.asarray(gu - zu * (A1 @ gu)),
+            t2=jnp.asarray(gp - zp * (A2 @ gp)),
+            t3=jnp.asarray(gu - zu * (A3 @ gu)),
+            conv=ConvectionKernel.build(mesh),
+            drag_u=jnp.asarray(dprobe.d_u),
+            drag_p=jnp.asarray(dprobe.d_p),
+            lift_u=jnp.asarray(lprobe.d_u),
+            lift_p=jnp.asarray(lprobe.d_p),
+            rho=jnp.asarray(cfg.rho, dtype=jnp.float64),
+            dt=jnp.asarray(cfg.dt, dtype=jnp.float64),
+        )
+
+        # `removable` equivalent of flow_solver.py:75-78, with the
+        # numpy-broadcasting bug there fixed: a vertex is removable iff it is
+        # not a boundary vertex (SURVEY.md §2a known defects).
+        self.removable = ~mesh.boundary_vertex_mask
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> FlowState:
+        """Zero initial condition, like the reference's fresh Functions
+        (flow_solver.py:92-93)."""
+        return FlowState(
+            u=jnp.zeros(self.ndofs_u, dtype=jnp.float64),
+            p=jnp.zeros(self.ndofs_p, dtype=jnp.float64),
+        )
+
+    def evolve(self, state: FlowState, n_steps: int = 1):
+        """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
+        state, (drags, lifts) = evolve_n(
+            self.dev, state, n_steps, self.config.precision, self.config.refine_iters
+        )
+        return state, drags, lifts
+
+    def solve(
+        self,
+        n_steps: int,
+        save_steps: int | None = None,
+        state: FlowState | None = None,
+    ):
+        """Run the full transient solve.
+
+        Mirrors the reference's ground-truth loop (Env2DAirfoil.py:111-125):
+        every `save_steps` steps, snapshot (u, p, drag, lift) — drag/lift
+        sampled from the state just computed.
+        """
+        if state is None:
+            state = self.initial_state()
+        if save_steps is None:
+            save_steps = n_steps
+        assert n_steps % save_steps == 0
+        drags, lifts, snaps = [], [], []
+        for _ in range(n_steps // save_steps):
+            state, d, l = self.evolve(state, save_steps)
+            drags.append(d)
+            lifts.append(l)
+            snaps.append(state)
+        drags = jnp.concatenate(drags)
+        lifts = jnp.concatenate(lifts)
+        return {
+            "state": state,
+            "drags": drags,
+            "lifts": lifts,
+            "snapshots": snaps,
+            "snap_drags": np.asarray(drags.reshape(-1, save_steps)[:, -1]),
+            "snap_lifts": np.asarray(lifts.reshape(-1, save_steps)[:, -1]),
+        }

@@ -1,0 +1,173 @@
+"""Cross-mesh solution transfer: point location + polynomial evaluation.
+
+Reference semantics (Env2DAirfoil.py:547-593): after each coarsening the
+S flow snapshots are re-interpolated from the ORIGINAL mesh onto the new mesh
+(`Function.interpolate` with allow_extrapolation=True), i.e. every new dof
+point is evaluated against the original P2/P1 polynomials; points that fall
+outside the source mesh (e.g. edge midpoints cutting the carved airfoil hole)
+are extrapolated from the nearest cell.
+
+TPU-native design: the source mesh is frozen for a whole training job, so its
+geometry (cell origins, inverse Jacobians, dof gathers) is tabulated once.
+Point location is a brute-force vmap over cells — argmax of the minimum
+barycentric coordinate — which both finds the containing cell when one exists
+(min bary >= 0) and picks the least-violating (nearest in barycentric
+defect) cell for exterior points, replacing FEniCS's BoundingBoxTree +
+closest_entity path with one dense reduction that XLA fuses.  Target points
+are padded to a static budget so the per-removal transfer never recompiles as
+the mesh shrinks.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import cell_jacobians
+from ..fem.spaces import P1Space, P2Space, VectorP2Space
+from ..mesh import TriMesh
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SourceField:
+    """Frozen source-mesh tabulation for evaluating P2/P1 functions."""
+
+    p0: jnp.ndarray  # (C,2) first-vertex coords
+    Jinv: jnp.ndarray  # (C,2,2)
+    cell_dofs_p2: jnp.ndarray  # (C,6)
+    cell_dofs_p1: jnp.ndarray  # (C,3)
+    ns: int  # scalar P2 dofs on source
+
+    def tree_flatten(self):
+        return (self.p0, self.Jinv, self.cell_dofs_p2, self.cell_dofs_p1), self.ns
+
+    @classmethod
+    def tree_unflatten(cls, ns, children):
+        return cls(*children, ns)
+
+    @classmethod
+    def build(cls, mesh: TriMesh) -> "SourceField":
+        _, _, Jinv = cell_jacobians(mesh)
+        return cls(
+            p0=jnp.asarray(mesh.coords[mesh.cells[:, 0]]),
+            Jinv=jnp.asarray(Jinv),
+            cell_dofs_p2=jnp.asarray(P2Space(mesh).cell_dofs()),
+            cell_dofs_p1=jnp.asarray(P1Space(mesh).cell_dofs()),
+            ns=P2Space(mesh).ndofs,
+        )
+
+
+@jax.jit
+def locate(src: SourceField, points: jnp.ndarray):
+    """For each point, the best cell and its reference coords.
+
+    points: (P, 2).  Returns (cells (P,), xi (P, 2)).
+    """
+    d = points[:, None, :] - src.p0[None, :, :]  # (P,C,2)
+    # xi = Jinv @ (x - p0): contraction over Jinv's SECOND index (the
+    # gradient path in fem/assembly.py contracts the first — that one is
+    # Jinv^T by the chain rule; this one is Jinv itself).
+    xi = jnp.einsum("pcd,ced->pce", d, src.Jinv)  # (P,C,2)
+    bary0 = 1.0 - xi[..., 0] - xi[..., 1]
+    minb = jnp.minimum(bary0, jnp.minimum(xi[..., 0], xi[..., 1]))  # (P,C)
+    cells = jnp.argmax(minb, axis=1)  # containing cell, or least-violating
+    xi_best = jnp.take_along_axis(xi, cells[:, None, None], axis=1)[:, 0, :]
+    return cells, xi_best
+
+
+def _p2_basis_jnp(xi):
+    x, y = xi[..., 0], xi[..., 1]
+    l0 = 1.0 - x - y
+    return jnp.stack(
+        [
+            l0 * (2 * l0 - 1),
+            x * (2 * x - 1),
+            y * (2 * y - 1),
+            4 * x * y,
+            4 * l0 * y,
+            4 * l0 * x,
+        ],
+        axis=-1,
+    )
+
+
+def _p1_basis_jnp(xi):
+    x, y = xi[..., 0], xi[..., 1]
+    return jnp.stack([1.0 - x - y, x, y], axis=-1)
+
+
+@jax.jit
+def eval_p2_vector(src: SourceField, u: jnp.ndarray, points: jnp.ndarray):
+    """Evaluate a block-layout vector P2 field at points -> (P, 2)."""
+    cells, xi = locate(src, points)
+    phi = _p2_basis_jnp(xi)  # (P,6)
+    dofs = src.cell_dofs_p2[cells]  # (P,6)
+    ux = jnp.sum(phi * u[dofs], axis=1)
+    uy = jnp.sum(phi * u[src.ns + dofs], axis=1)
+    return jnp.stack([ux, uy], axis=1)
+
+
+@jax.jit
+def eval_p1(src: SourceField, p: jnp.ndarray, points: jnp.ndarray):
+    """Evaluate a P1 field at points -> (P,)."""
+    cells, xi = locate(src, points)
+    phi = _p1_basis_jnp(xi)
+    return jnp.sum(phi * p[src.cell_dofs_p1[cells]], axis=1)
+
+
+# ----------------------------------------------------------------------
+# Snapshot transfer onto a (coarsened) target mesh
+# ----------------------------------------------------------------------
+
+@dataclass
+class SnapshotSet:
+    """S flow snapshots on one mesh: u (S, 2Ns), p (S, Np)."""
+
+    u: np.ndarray
+    p: np.ndarray
+
+    @property
+    def num_snapshots(self) -> int:
+        return len(self.u)
+
+
+class SnapshotTransfer:
+    """Interpolates snapshots from a frozen source mesh onto target meshes.
+
+    Mirrors _check_mesh's interpolation loop (Env2DAirfoil.py:556-568) but
+    batched: all snapshots and all target dof points evaluated in one
+    device call each.
+    """
+
+    def __init__(self, source_mesh: TriMesh, snapshots: SnapshotSet):
+        self.src = SourceField.build(source_mesh)
+        self.u_src = jnp.asarray(np.stack(snapshots.u))  # (S, 2Ns)
+        self.p_src = jnp.asarray(np.stack(snapshots.p))  # (S, Np)
+
+    def to_mesh(self, target: TriMesh) -> SnapshotSet:
+        """Interpolate all snapshots onto `target`'s P2/P1 dofs."""
+        Vs = P2Space(target)
+        pts2 = jnp.asarray(Vs.dof_coords())  # (Ns_t, 2)
+        pts1 = jnp.asarray(target.coords)  # (Np_t, 2)
+        uv = jax.vmap(lambda u: eval_p2_vector(self.src, u, pts2))(self.u_src)
+        # (S, Ns_t, 2) -> block layout (S, 2 Ns_t)
+        u_new = jnp.concatenate([uv[..., 0], uv[..., 1]], axis=1)
+        p_new = jax.vmap(lambda p: eval_p1(self.src, p, pts1))(self.p_src)
+        return SnapshotSet(u=np.asarray(u_new), p=np.asarray(p_new))
+
+    def vertex_fields(self, target: TriMesh, snaps: SnapshotSet):
+        """velocities (S, V, 2) and pressures (S, V) at target vertices.
+
+        For nodal P2/P1, function values at vertices ARE the vertex dofs, so
+        this replaces the reference's per-point re-evaluation loop
+        (_calculate_velocities/_calculate_pressures, Env2DAirfoil.py:515-522)
+        with slicing.
+        """
+        V = target.num_vertices
+        Ns = P2Space(target).ndofs
+        vel = np.stack([snaps.u[:, :V], snaps.u[:, Ns : Ns + V]], axis=2)
+        return vel, snaps.p[:, :V]
