@@ -48,7 +48,7 @@ class ConvectionKernel:
         return cls(*children, ndofs)
 
     @classmethod
-    def build(cls, mesh: TriMesh) -> "ConvectionKernel":
+    def build(cls, mesh: TriMesh, dtype=jnp.float64) -> "ConvectionKernel":
         pts, w = dunavant_6()
         phi = p2_basis(pts)
         gref = p2_grads(pts)
@@ -58,9 +58,9 @@ class ConvectionKernel:
         V = VectorP2Space(mesh)
         return cls(
             cell_dofs=jnp.asarray(V.cell_dofs()),
-            phi=jnp.asarray(phi),
-            gphys=jnp.asarray(gphys),
-            wdet=jnp.asarray(wdet),
+            phi=jnp.asarray(phi, dtype=dtype),
+            gphys=jnp.asarray(gphys, dtype=dtype),
+            wdet=jnp.asarray(wdet, dtype=dtype),
             ndofs=V.ndofs,
         )
 

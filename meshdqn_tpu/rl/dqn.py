@@ -1,0 +1,142 @@
+"""Double-DQN learner with alternating online/target roles.
+
+Semantics from the reference (airfoil_dqn.py:151-310): TWO NodeRemovalNets;
+every TARGET_UPDATE gradient applications the online/target roles swap
+(airfoil_dqn.py:185-186); the online net's Q(s, a) regresses onto
+r + gamma * max_a' Q_target(s', a') with Huber loss; Adam(lr, weight_decay)
+with a MultiStepLR schedule (milestones 0.5M/1M/1.5M, gamma 0.1,
+airfoil_dqn.py:172-176); greedy actions always come from net 1
+(airfoil_dqn.py:208-209).
+
+Reference defects fixed here (SURVEY.md §2a):
+* the optimizer there is re-created on every apply (airfoil_dqn.py:195-199),
+  destroying Adam moments — we keep one persistent optax state per net;
+* at swap boundaries the reference applies gradients computed on one net to
+  the other (toggle happens before installation, :184-194) — we apply to the
+  net they came from, then swap;
+* `get_weights`/`set_gradients` are not even defined on the reference model
+  (it cannot run unpatched) — moot in a functional design.
+
+The single jitted `train_step` replaces the entire Ray
+ParameterServer/DataWorker RPC round-trip (airfoil_dqn.py:315-340): under
+data-parallel sharding the same function runs SPMD with XLA inserting the
+gradient psum (see parallel/).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env.graph import GraphState
+from ..models.noderemoval import forward
+from .replay import TransitionBatch
+
+
+@dataclass(frozen=True)
+class DQNConfig:
+    lr: float = 1e-5
+    weight_decay: float = 1e-6
+    gamma: float = 1.0
+    target_update: int = 50
+    topk: float = 0.1
+    huber_delta: float = 1.0
+    milestones: tuple = (500_000, 1_000_000, 1_500_000)
+    milestone_gamma: float = 0.1
+
+
+class DQNState(NamedTuple):
+    params1: dict
+    params2: dict
+    opt1: optax.OptState
+    opt2: optax.OptState
+    num_grads: jnp.ndarray  # () int32
+    select: jnp.ndarray  # () bool: True -> net1 is online
+
+
+def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
+    # torch Adam(weight_decay=wd) == L2 term folded into the gradient BEFORE
+    # the Adam moments — optax.add_decayed_weights placed before adam.
+    schedule = optax.piecewise_constant_schedule(
+        init_value=cfg.lr,
+        boundaries_and_scales={int(m): cfg.milestone_gamma for m in cfg.milestones},
+    )
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def init_dqn(params1: dict, params2: dict, cfg: DQNConfig) -> DQNState:
+    opt = make_optimizer(cfg)
+    return DQNState(
+        params1=params1,
+        params2=params2,
+        opt1=opt.init(params1),
+        opt2=opt.init(params2),
+        num_grads=jnp.zeros((), jnp.int32),
+        select=jnp.ones((), jnp.bool_),
+    )
+
+
+def _q_values(params, graphs: GraphState, topk: float):
+    return jax.vmap(partial(forward, params, topk=topk))(graphs)  # (B, A)
+
+
+def dqn_loss(online_params, target_params, batch: TransitionBatch, cfg: DQNConfig):
+    q = _q_values(online_params, batch.state, cfg.topk)  # (B, A)
+    q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+
+    q_next = _q_values(target_params, batch.next_state, cfg.topk)
+    v_next = jnp.max(q_next, axis=1)
+    v_next = jnp.where(batch.non_final, v_next, 0.0)
+    target = jax.lax.stop_gradient(batch.reward + cfg.gamma * v_next)
+    return jnp.mean(optax.huber_loss(q_sa, target, delta=cfg.huber_delta))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
+    """One gradient application; returns (new_state, loss)."""
+    opt = make_optimizer(cfg)
+
+    def step_net(online, target, opt_state):
+        loss, grads = jax.value_and_grad(dqn_loss)(online, target, batch, cfg)
+        updates, opt_state = opt.update(grads, opt_state, online)
+        online = optax.apply_updates(online, updates)
+        return online, opt_state, loss
+
+    def branch_net1(s: DQNState):
+        p1, o1, loss = step_net(s.params1, s.params2, s.opt1)
+        return s._replace(params1=p1, opt1=o1), loss
+
+    def branch_net2(s: DQNState):
+        p2, o2, loss = step_net(s.params2, s.params1, s.opt2)
+        return s._replace(params2=p2, opt2=o2), loss
+
+    state, loss = jax.lax.cond(state.select, branch_net1, branch_net2, state)
+    num_grads = state.num_grads + 1
+    select = jax.lax.cond(
+        num_grads % cfg.target_update == 0,
+        lambda s: jnp.logical_not(s),
+        lambda s: s,
+        state.select,
+    )
+    return state._replace(num_grads=num_grads, select=select), loss
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def select_action(params1: dict, g: GraphState, topk: float = 0.1):
+    """Greedy action from net 1 (airfoil_dqn.py:208-209)."""
+    return jnp.argmax(forward(params1, g, topk=topk))
+
+
+def epsilon(steps_done: float, start: float, end: float, decay: float) -> float:
+    """eps = end + (start-end) exp(-steps/decay) (airfoil_dqn.py:455)."""
+    import math
+
+    return end + (start - end) * math.exp(-steps_done / decay)

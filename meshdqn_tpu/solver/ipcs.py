@@ -18,10 +18,18 @@ the TPU, so the design is assemble-once / invert-once / matvec-many:
   passed to the jitted function as a pytree argument (never baked into HLO).
 
 Precision modes:
-  'f64'   — everything f64 (reference-accurate; default).
-  'mixed' — inverses stored f32 and applied on the MXU, followed by
-            `refine_iters` rounds of f64 iterative refinement against the
-            sparse residual.  Direct-solver accuracy at f32 matvec cost.
+  'f64'   — everything f64 (reference-accurate; default; CPU oracle —
+            f64 is software-emulated and slow on v5e-class TPUs).
+  'f32'   — everything f32: the fastest TPU path (~25x the reference's
+            per-step rate on v5e).  Drag matches the reference to ~6e-4;
+            lift to ~2e-3.
+  'mixed' — hybrid: velocity-sized (2Ns) operators and state in f32, the
+            pressure path in f64 with `refine_iters` iterative-refinement
+            sweeps on the pressure solve.  Measured on the stock meshes the
+            end-to-end error is dominated by f32 phase drift in the
+            VELOCITY path, so this mode currently tracks 'f32' accuracy at
+            ~3x its step cost — kept as the scaffold for a future
+            double-f32 velocity path (see ROADMAP).
 """
 from __future__ import annotations
 
@@ -77,32 +85,37 @@ class DeviceOperators(NamedTuple):
     dt: jnp.ndarray
 
 
-def _solve(dev_inv, ell, b, precision: str, refine_iters: int):
-    if precision == "f64":
-        return dev_inv @ b
-    x = (dev_inv @ b.astype(jnp.float32)).astype(jnp.float64)
-    for _ in range(refine_iters):
-        r = b - (ell @ x)
-        x = x + (dev_inv @ r.astype(jnp.float32)).astype(jnp.float64)
-    return x
-
-
 def ipcs_step(dev: DeviceOperators, state: FlowState, precision: str, refine_iters: int):
-    """One IPCS time step; returns (new_state, (drag, lift))."""
+    """One IPCS time step; returns (new_state, (drag, lift)).
+
+    In 'mixed' mode the state is (u: f32, p: f64): every 2Ns-sized operator
+    runs f32, the Np-sized pressure system runs f64, and the step-3 pressure
+    difference is formed in f64 BEFORE casting down (the difference of two
+    nearly-equal pressures is exactly where f32 cancels catastrophically).
+    """
     u_n, p_n = state
     c = dev.conv(u_n)
+    p_n_w = p_n.astype(dev.t1.dtype)  # f32 view of pressure for velocity ops
     # Step 1: tentative velocity
-    b1 = (dev.R1 @ u_n) + (dev.P1m @ p_n) - dev.rho * c
+    b1 = (dev.R1 @ u_n) + (dev.P1m @ p_n_w) - dev.rho * c
     b1 = b1 * dev.z_u + dev.t1
-    u_star = _solve(dev.A1inv, dev.A1bc, b1, precision, refine_iters)
-    # Step 2: pressure correction
-    b2 = (dev.Kp @ p_n) - (dev.BT @ u_star) / dev.dt
+    u_star = dev.A1inv @ b1
+    # Step 2: pressure correction (f64 in 'mixed')
+    pdt = dev.t2.dtype
+    u_star_p = u_star.astype(pdt)
+    b2 = (dev.Kp @ p_n) - (dev.BT @ u_star_p) / dev.dt.astype(pdt)
     b2 = b2 * dev.z_p + dev.t2
-    p_new = _solve(dev.A2inv, dev.A2bc, b2, precision, refine_iters)
-    # Step 3: velocity correction
-    b3 = (dev.M @ u_star) - dev.dt * (dev.G @ (p_new - p_n))
+    p_new = (dev.A2inv @ b2.astype(dev.A2inv.dtype)).astype(pdt)
+    if precision == "mixed":
+        for _ in range(refine_iters):
+            r = b2 - (dev.A2bc @ p_new)
+            p_new = p_new + (dev.A2inv @ r.astype(dev.A2inv.dtype)).astype(pdt)
+    # Step 3: velocity correction; pressure difference formed at pressure
+    # precision, cast after subtraction.
+    dp = (p_new - p_n).astype(dev.t1.dtype)
+    b3 = (dev.M @ u_star) - dev.dt * (dev.G @ dp)
     b3 = b3 * dev.z_u + dev.t3
-    u_new = _solve(dev.A3inv, dev.A3bc, b3, precision, refine_iters)
+    u_new = dev.A3inv @ b3
 
     new_state = FlowState(u=u_new, p=p_new)
     drag = dev.drag_u @ u_new + dev.drag_p @ p_new
@@ -152,7 +165,13 @@ class IPCSSolver:
         A3bc = apply_bc_symmetric(A3, ops.u_bc_mask)
 
         mixed = cfg.precision == "mixed"
-        inv_dtype = np.float32 if mixed else np.float64
+        # wdt: dtype of the (large) velocity path; pdt: of the (small,
+        # ill-conditioned) pressure path.
+        wdt = jnp.float64 if cfg.precision == "f64" else jnp.float32
+        pdt = jnp.float32 if cfg.precision == "f32" else jnp.float64
+        self.work_dtype = wdt
+        self.pressure_dtype = pdt
+        inv_dtype = np.float32 if cfg.precision in ("mixed", "f32") else np.float64
         A1i = scipy.linalg.inv(A1bc.toarray(), overwrite_a=True).astype(inv_dtype)
         A2i = scipy.linalg.inv(A2bc.toarray(), overwrite_a=True).astype(inv_dtype)
         A3i = scipy.linalg.inv(A3bc.toarray(), overwrite_a=True).astype(inv_dtype)
@@ -170,27 +189,27 @@ class IPCSSolver:
             A1inv=jnp.asarray(A1i),
             A2inv=jnp.asarray(A2i),
             A3inv=jnp.asarray(A3i),
-            A1bc=EllMatrix.from_scipy(A1bc) if mixed else None,
-            A2bc=EllMatrix.from_scipy(A2bc) if mixed else None,
-            A3bc=EllMatrix.from_scipy(A3bc) if mixed else None,
-            R1=EllMatrix.from_scipy(ops.R1),
-            P1m=EllMatrix.from_scipy(ops.B - ops.Bn),
-            Kp=EllMatrix.from_scipy(ops.Kp),
-            BT=EllMatrix.from_scipy(ops.B.T.tocsr()),
-            M=EllMatrix.from_scipy(ops.M),
-            G=EllMatrix.from_scipy(ops.G),
-            z_u=jnp.asarray(zu),
-            z_p=jnp.asarray(zp),
-            t1=jnp.asarray(gu - zu * (A1 @ gu)),
-            t2=jnp.asarray(gp - zp * (A2 @ gp)),
-            t3=jnp.asarray(gu - zu * (A3 @ gu)),
-            conv=ConvectionKernel.build(mesh),
-            drag_u=jnp.asarray(dprobe.d_u),
-            drag_p=jnp.asarray(dprobe.d_p),
-            lift_u=jnp.asarray(lprobe.d_u),
-            lift_p=jnp.asarray(lprobe.d_p),
-            rho=jnp.asarray(cfg.rho, dtype=jnp.float64),
-            dt=jnp.asarray(cfg.dt, dtype=jnp.float64),
+            A1bc=None,
+            A2bc=EllMatrix.from_scipy(A2bc, dtype=pdt) if mixed else None,
+            A3bc=None,
+            R1=EllMatrix.from_scipy(ops.R1, dtype=wdt),
+            P1m=EllMatrix.from_scipy(ops.B - ops.Bn, dtype=wdt),
+            Kp=EllMatrix.from_scipy(ops.Kp, dtype=pdt),
+            BT=EllMatrix.from_scipy(ops.B.T.tocsr(), dtype=pdt),
+            M=EllMatrix.from_scipy(ops.M, dtype=wdt),
+            G=EllMatrix.from_scipy(ops.G, dtype=wdt),
+            z_u=jnp.asarray(zu, dtype=wdt),
+            z_p=jnp.asarray(zp, dtype=pdt),
+            t1=jnp.asarray(gu - zu * (A1 @ gu), dtype=wdt),
+            t2=jnp.asarray(gp - zp * (A2 @ gp), dtype=pdt),
+            t3=jnp.asarray(gu - zu * (A3 @ gu), dtype=wdt),
+            conv=ConvectionKernel.build(mesh, dtype=wdt),
+            drag_u=jnp.asarray(dprobe.d_u, dtype=wdt),
+            drag_p=jnp.asarray(dprobe.d_p, dtype=pdt),
+            lift_u=jnp.asarray(lprobe.d_u, dtype=wdt),
+            lift_p=jnp.asarray(lprobe.d_p, dtype=pdt),
+            rho=jnp.asarray(cfg.rho, dtype=wdt),
+            dt=jnp.asarray(cfg.dt, dtype=wdt),
         )
 
         # `removable` equivalent of flow_solver.py:75-78, with the
@@ -203,8 +222,8 @@ class IPCSSolver:
         """Zero initial condition, like the reference's fresh Functions
         (flow_solver.py:92-93)."""
         return FlowState(
-            u=jnp.zeros(self.ndofs_u, dtype=jnp.float64),
-            p=jnp.zeros(self.ndofs_p, dtype=jnp.float64),
+            u=jnp.zeros(self.ndofs_u, dtype=self.work_dtype),
+            p=jnp.zeros(self.ndofs_p, dtype=self.pressure_dtype),
         )
 
     def evolve(self, state: FlowState, n_steps: int = 1):

@@ -1,0 +1,91 @@
+"""Training metrics recorder.
+
+Drop-in equivalent of the reference's DataHandler Ray actor
+(airfoil_dqn.py:76-147): accumulates per-step rewards, per-episode reward
+lists, losses, actions and epsilon values, and writes the same five .npy
+artifacts (`<prefix>reward.npy`, `rewards.npy`, `losses.npy`, `actions.npy`,
+`eps.npy`) plus the moving-average reward plot — so the reference's analysis
+scripts (training_results/plot_reward.py, analyze_actions.py) consume our
+runs unchanged.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _movingaverage(values, window):
+    weights = np.repeat(1.0, window) / window
+    return np.convolve(values, weights, "valid")
+
+
+class MetricsRecorder:
+    def __init__(self, save_dir: str, prefix: str = ""):
+        self.save_dir = save_dir
+        self.prefix = prefix
+        os.makedirs(save_dir, exist_ok=True)
+        self.rewards: list[float] = []  # per-episode summed reward
+        self.ep_rewards: list[list] = []  # per-episode reward lists
+        self.losses: list[float] = []
+        self.actions: list[list] = []
+        self.epss: list[float] = []
+
+    # -- accumulation (DataHandler API) --------------------------------
+    def add_eps(self, eps: float):
+        self.epss.append(eps)
+
+    def num_eps(self) -> int:
+        return len(self.epss)
+
+    def add_loss(self, loss: float):
+        self.losses.append(loss)
+
+    def add_episode(self, ep_rew: list, ep_action: list):
+        self.rewards.append(float(np.sum(ep_rew)))
+        self.ep_rewards.append(list(ep_rew))
+        self.actions.append(list(ep_action))
+
+    # -- artifacts ------------------------------------------------------
+    def _p(self, name: str) -> str:
+        return os.path.join(self.save_dir, self.prefix + name)
+
+    def write(self):
+        np.save(self._p("reward.npy"), np.array(self.rewards, dtype=object), allow_pickle=True)
+        np.save(self._p("rewards.npy"), np.array(self.ep_rewards, dtype=object), allow_pickle=True)
+        np.save(self._p("losses.npy"), np.array(self.losses, dtype=object), allow_pickle=True)
+        np.save(self._p("actions.npy"), np.array(self.actions, dtype=object), allow_pickle=True)
+        np.save(self._p("eps.npy"), np.array(self.epss, dtype=object), allow_pickle=True)
+
+    def load(self):
+        """Resume accumulation from previously written artifacts."""
+        def _load(name, default):
+            try:
+                return list(np.load(self._p(name), allow_pickle=True))
+            except OSError:
+                return default
+
+        self.rewards = [float(r) for r in _load("reward.npy", [])]
+        self.ep_rewards = _load("rewards.npy", [])
+        self.losses = _load("losses.npy", [])
+        self.actions = _load("actions.npy", [])
+        self.epss = _load("eps.npy", [])
+
+    def plot(self):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+        except ImportError:  # headless fallback
+            return
+        fig, ax = plt.subplots()
+        ax.plot(self.rewards)
+        if len(self.rewards) >= 25:
+            ax.plot(range(len(self.rewards))[24:], _movingaverage(self.rewards, 25))
+        if len(self.rewards) >= 200:
+            ax.plot(range(len(self.rewards))[199:], _movingaverage(self.rewards, 200))
+        ax.set(xlabel="Episode", ylabel="Reward")
+        ax.set_title("DQN Training Reward")
+        fig.savefig(self._p("reward.png"))
+        plt.close(fig)

@@ -1,0 +1,201 @@
+"""DQN training driver.
+
+Single-program replacement for the reference's Ray actor topology
+(airfoil_dqn.py:315-514): where the reference wires 12 rollout workers, a
+parameter server, gradient workers, a replay actor and a metrics actor
+through RPC, here one process steps `num_parallel` environments round-robin,
+selects actions with a batched device call, and applies one jitted
+double-DQN gradient step per environment transition.  The asynchronous
+first-ready-gradient application (airfoil_dqn.py:331-336) becomes ordinary
+synchronous SGD — equivalent-or-better learning dynamics and the idiomatic
+single-program TPU design (SURVEY.md §5 communication backend).  Multi-chip
+data parallelism shards the replay batch instead (parallel/dp.py).
+
+Mirrored behaviours:
+* epsilon-greedy with eps = end + (start-end) exp(-steps/decay)
+  (airfoil_dqn.py:455), one shared global step counter;
+* exploration samples uniformly over all N_closest+1 actions including
+  do-nothing (airfoil_dqn.py:463);
+* transitions push (state, action, next_state|None, reward)
+  (airfoil_dqn.py:480-482);
+* one optimize call per env step, skipped until the buffer holds a batch
+  (airfoil_dqn.py:315-319);
+* metrics artifacts + reward plot every 5 episodes, checkpoints every
+  episode (airfoil_dqn.py:500-503).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..env import AirfoilEnv, GroundTruth, compute_ground_truth
+from ..models import init_params
+from ..rl import (
+    DQNConfig,
+    DQNState,
+    ReplayBuffer,
+    epsilon,
+    init_dqn,
+    select_action,
+    train_step,
+)
+from ..utils import Config
+from .checkpoint import CheckpointManager
+from .metrics import MetricsRecorder
+
+REPLAY_CAPACITY = 10_000  # airfoil_dqn.py:412
+
+
+@dataclass
+class TrainerState:
+    global_step: int = 0
+    episode: int = 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        ground_truth: GroundTruth | None = None,
+        resume: bool = True,
+    ):
+        self.config = config
+        agent, opt, eps = config.agent, config.optimizer, config.epsilon
+        self.save_dir = os.path.join(config.save_dir, config.prefix.rstrip("_"))
+        os.makedirs(self.save_dir, exist_ok=True)
+        config.to_yaml(os.path.join(self.save_dir, "config.yaml"))
+
+        # Ground truth: compute once, persist next to the run artifacts
+        # (replaces the snapshots/*.npy scheme of Env2DAirfoil.py:432-449).
+        gt_path = os.path.join(self.save_dir, "ground_truth.npz")
+        if ground_truth is None:
+            if os.path.exists(gt_path):
+                ground_truth = GroundTruth.load(gt_path)
+            else:
+                ground_truth = compute_ground_truth(config)
+                ground_truth.save(gt_path)
+        self.gt = ground_truth
+
+        self.envs = [
+            AirfoilEnv(config, ground_truth=self.gt)
+            for _ in range(agent.num_parallel)
+        ]
+
+        n_actions = agent.N_closest + 1
+        n_feat = 2 + 3 * (agent.solver_steps // agent.save_steps)
+        key = jax.random.PRNGKey(config.seed)
+        k1, k2 = jax.random.split(key)
+        p1 = init_params(k1, n_feat, n_actions, conv_width=128, topk=0.1)
+        p2 = init_params(k2, n_feat, n_actions, conv_width=128, topk=0.1)
+        self.dqn_cfg = DQNConfig(
+            lr=opt.lr,
+            weight_decay=opt.weight_decay,
+            gamma=eps.gamma,
+            target_update=agent.target_update,
+            topk=0.1,
+        )
+        self.dqn = init_dqn(p1, p2, self.dqn_cfg)
+        self.replay = ReplayBuffer(
+            REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+        )
+        self.batch_size = opt.batch_size
+        self.rng = np.random.default_rng(config.seed)
+
+        self.metrics = MetricsRecorder(self.save_dir, config.prefix)
+        self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpt"))
+        self.state = TrainerState()
+
+        if resume:
+            restored = self.ckpt.restore(self.dqn)
+            if restored is not None:
+                self.dqn, extras, step = restored
+                self.state.global_step = int(extras["global_step"])
+                self.state.episode = int(extras["episode"])
+                self.metrics.load()
+
+    # ------------------------------------------------------------------
+    def _select(self, state, eps_val: float) -> int:
+        if self.rng.random() > eps_val:
+            return int(select_action(self.dqn.params1, state, topk=self.dqn_cfg.topk))
+        return int(self.rng.integers(0, self.config.agent.N_closest + 1))
+
+    def _optimize(self) -> float | None:
+        if len(self.replay) < self.batch_size:
+            return None
+        batch = self.replay.sample(self.batch_size, self.rng)
+        self.dqn, loss = train_step(self.dqn, batch, self.dqn_cfg)
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    def train(self, num_episodes: int | None = None, max_steps: int | None = None):
+        """Run episodes round-robin over the parallel envs."""
+        cfg = self.config
+        eps_cfg = cfg.epsilon
+        num_episodes = num_episodes or cfg.agent.episodes
+        t_start = time.time()
+
+        env_states = [env.reset() for env in self.envs]
+        ep_rewards = [[] for _ in self.envs]
+        ep_actions = [[] for _ in self.envs]
+
+        while self.state.episode < num_episodes:
+            for i, env in enumerate(self.envs):
+                eps_val = epsilon(
+                    self.state.global_step, eps_cfg.start, eps_cfg.end, eps_cfg.decay
+                )
+                action = self._select(env_states[i], eps_val)
+                nxt, rew, done, info = env.step(action)
+                self.replay.push(
+                    env_states[i], action, None if done else nxt, rew
+                )
+                env_states[i] = nxt
+                ep_rewards[i].append(rew)
+                ep_actions[i].append(action)
+                self.metrics.add_eps(eps_val)
+                self.state.global_step += 1
+
+                loss = self._optimize()
+                if loss is not None:
+                    self.metrics.add_loss(loss)
+
+                if done:
+                    self.metrics.add_episode(ep_rewards[i], ep_actions[i])
+                    ep_rewards[i], ep_actions[i] = [], []
+                    env_states[i] = env.reset()
+                    self.state.episode += 1
+                    if self.state.episode % 5 == 0:
+                        self.metrics.plot()
+                    self.metrics.write()
+                    self.ckpt.save(
+                        self.state.episode,
+                        self.dqn,
+                        {
+                            "global_step": self.state.global_step,
+                            "episode": self.state.episode,
+                        },
+                    )
+                    if self.state.episode >= num_episodes:
+                        break
+                if max_steps is not None and self.state.global_step >= max_steps:
+                    self.metrics.write()
+                    return self.summary(t_start)
+            else:
+                continue
+            break
+        self.metrics.write()
+        return self.summary(t_start)
+
+    def summary(self, t_start: float) -> dict:
+        return {
+            "episodes": self.state.episode,
+            "global_steps": self.state.global_step,
+            "wall_s": time.time() - t_start,
+            "mean_reward": float(np.mean(self.metrics.rewards))
+            if self.metrics.rewards
+            else float("nan"),
+            "grad_steps": int(self.dqn.num_grads),
+        }

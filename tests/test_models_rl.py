@@ -1,0 +1,186 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meshdqn_tpu.env.graph import GraphState
+from meshdqn_tpu.models import (
+    forward,
+    gcn_conv,
+    init_params,
+    sage_conv,
+    stage_sizes,
+    surrogate_forward,
+    surrogate_init,
+    topk_init,
+    topk_pool,
+)
+from meshdqn_tpu.rl import (
+    DQNConfig,
+    ReplayBuffer,
+    epsilon,
+    init_dqn,
+    select_action,
+    train_step,
+)
+
+
+def make_graph(n_valid, n_pad, edges, n_feat=17, seed=0, e_pad=None):
+    rng = np.random.default_rng(seed)
+    x = np.zeros((n_pad, n_feat), dtype=np.float32)
+    x[:n_valid] = rng.standard_normal((n_valid, n_feat)).astype(np.float32)
+    if e_pad is None:
+        e_pad = max(len(edges), 1)
+    ei = np.zeros((2, e_pad), dtype=np.int32)
+    em = np.zeros(e_pad, dtype=bool)
+    if edges:
+        ei[:, : len(edges)] = np.array(edges, dtype=np.int32).T
+        em[: len(edges)] = True
+    nm = np.zeros(n_pad, dtype=bool)
+    nm[:n_valid] = True
+    return GraphState(
+        x=jnp.asarray(x),
+        edge_index=jnp.asarray(ei),
+        edge_attr=jnp.zeros(e_pad, jnp.float32),
+        node_mask=jnp.asarray(nm),
+        edge_mask=jnp.asarray(em),
+    )
+
+
+class TestLayers:
+    def test_sage_conv_hand_computed(self):
+        # 3 nodes, edges 0->1, 2->1, 1->0 (directed).  SAGE:
+        # out_i = Wl.mean_{j->i} x_j + bl + Wr.x_i
+        g = make_graph(3, 3, [(0, 1), (2, 1), (1, 0)], n_feat=2, seed=1)
+        params = {
+            "lin_l_w": jnp.eye(2),
+            "lin_l_b": jnp.zeros(2),
+            "lin_r_w": 2.0 * jnp.eye(2),
+        }
+        out = np.asarray(sage_conv(params, g.x, g.edge_index, g.edge_mask, g.node_mask))
+        x = np.asarray(g.x)
+        assert np.allclose(out[0], x[1] + 2 * x[0], atol=1e-6)
+        assert np.allclose(out[1], (x[0] + x[2]) / 2 + 2 * x[1], atol=1e-6)
+        assert np.allclose(out[2], 2 * x[2], atol=1e-6)  # no in-edges
+
+    def test_gcn_conv_hand_computed(self):
+        # 2 nodes, single edge 0->1, identity weights.
+        # deg (with self loops): d0 = 1, d1 = 2.
+        # out_0 = x_0 * 1/d0 ; out_1 = x_0 /sqrt(d0 d1) + x_1 / d1
+        g = make_graph(2, 2, [(0, 1)], n_feat=2, seed=2)
+        params = {"w": jnp.eye(2), "b": jnp.zeros(2)}
+        out = np.asarray(gcn_conv(params, g.x, g.edge_index, g.edge_mask, g.node_mask))
+        x = np.asarray(g.x)
+        assert np.allclose(out[0], x[0], atol=1e-6)
+        assert np.allclose(out[1], x[0] / np.sqrt(2) + x[1] / 2, atol=1e-6)
+
+    def test_topk_selects_highest_scores(self):
+        g = make_graph(4, 6, [(0, 1), (1, 2), (2, 3)], n_feat=2, seed=3)
+        x = jnp.asarray(
+            np.array([[3, 0], [1, 0], [2, 0], [4, 0], [9, 9], [9, 9]], np.float32)
+        )
+        params = {"w": jnp.asarray(np.array([1.0, 0.0], np.float32))}
+        pg = topk_pool(params, x, g.edge_index, g.edge_mask, g.node_mask, 0.5, 2)
+        # scores = x[:,0] among valid [3,1,2,4] -> top-2 = nodes 3, 0
+        assert np.asarray(pg.node_mask).sum() == 2
+        kept = np.asarray(pg.x)[:, 0]
+        assert np.allclose(kept, [4 * np.tanh(4.0), 3 * np.tanh(3.0)], atol=1e-5)
+        # edge 2->3 had one endpoint kept only; edge filtering leaves no edges
+        # except those between kept nodes (none here share an edge).
+        assert np.asarray(pg.edge_mask).sum() == 0
+
+    def test_stage_sizes_match_reference_cascade(self):
+        # 180 nodes at ratio 0.1: 18 -> 2 -> 1 -> 1 (airfoilgcnn + N_closest=180)
+        assert stage_sizes(180, 0.1) == [18, 2, 1, 1]
+
+
+class TestNodeRemovalNet:
+    def test_forward_distribution(self):
+        key = jax.random.PRNGKey(0)
+        params = init_params(key, in_dim=17, output_dim=181, conv_width=128, topk=0.1)
+        g = make_graph(180, 180, [(i, (i + 1) % 180) for i in range(180)])
+        out = np.asarray(forward(params, g, topk=0.1))
+        assert out.shape == (181,)
+        assert np.isfinite(out).all()
+        assert np.isclose(out.sum(), 1.0, atol=1e-5)  # softmax head
+
+    def test_padding_invariance(self):
+        # Same 30 valid nodes embedded in 40-pad vs 180-pad graphs must give
+        # the same output (masking correctness end to end).
+        key = jax.random.PRNGKey(1)
+        params = init_params(key, in_dim=17, output_dim=181, conv_width=32, topk=0.1)
+        edges = [(i, (i + 3) % 30) for i in range(30)]
+        g_small = make_graph(30, 40, edges, seed=11)
+        g_big = make_graph(30, 180, edges, seed=11)
+        out_s = np.asarray(forward(params, g_small, topk=0.1))
+        out_b = np.asarray(forward(params, g_big, topk=0.1))
+        assert np.allclose(out_s, out_b, atol=1e-5)
+
+    def test_embedding_mode(self):
+        key = jax.random.PRNGKey(2)
+        params = init_params(key, 17, 181, conv_width=16, topk=0.1)
+        g = make_graph(20, 20, [(0, 1)])
+        emb = forward(params, g, topk=0.1, embedding=True)
+        assert emb.shape == (32,)
+
+    def test_surrogate_scalar(self):
+        key = jax.random.PRNGKey(3)
+        params = surrogate_init(key, conv_width=16)
+        g = make_graph(50, 50, [(i, i + 1) for i in range(49)])
+        out = surrogate_forward(params, g, topk=0.5)
+        assert np.isfinite(float(out))
+
+
+class TestDQN:
+    def _batch(self, buf, rng):
+        return buf.sample(4, rng)
+
+    def test_train_step_updates_and_swaps(self):
+        key = jax.random.PRNGKey(0)
+        p1 = init_params(key, 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=3, topk=0.1)
+        state = init_dqn(p1, p2, cfg)
+
+        buf = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        rng = np.random.default_rng(0)
+        for i in range(10):
+            g = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            g2 = make_graph(10, 10, [(0, 1)], seed=i + 100, e_pad=16)
+            buf.push(g, i % 11, g2 if i % 3 else None, float(i) / 10)
+
+        losses = []
+        selects = []
+        for i in range(6):
+            batch = buf.sample(4, rng)
+            state, loss = train_step(state, batch, cfg)
+            losses.append(float(loss))
+            selects.append(bool(state.select))
+        assert all(np.isfinite(losses))
+        # select starts True, flips after 3 and 6 grad steps
+        assert selects == [True, True, False, False, False, True]
+        # params actually moved
+        leaf0 = jax.tree_util.tree_leaves(p1)[0]
+        leaf1 = jax.tree_util.tree_leaves(state.params1)[0]
+        assert not np.allclose(leaf0, leaf1)
+
+    def test_select_action_in_range(self):
+        p1 = init_params(jax.random.PRNGKey(0), 17, 181, conv_width=8, topk=0.1)
+        g = make_graph(180, 180, [(0, 1)])
+        a = int(select_action(p1, g, topk=0.1))
+        assert 0 <= a <= 180
+
+    def test_epsilon_schedule(self):
+        assert np.isclose(epsilon(0, 1.0, 0.01, 10000), 1.0)
+        assert np.isclose(epsilon(1e9, 1.0, 0.01, 10000), 0.01)
+        mid = epsilon(10000, 1.0, 0.01, 10000)
+        assert 0.01 < mid < 1.0
+
+    def test_terminal_transitions_masked(self):
+        # A terminal next-state contributes 0 to the target regardless of its
+        # (zeroed) content.
+        buf = ReplayBuffer(capacity=8, n_nodes=5, n_features=17, edge_budget=4)
+        g = make_graph(5, 5, [(0, 1)], seed=0, e_pad=4)
+        buf.push(g, 1, None, 0.5)
+        batch = buf.sample(1, np.random.default_rng(0))
+        assert not bool(batch.non_final[0])

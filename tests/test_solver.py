@@ -1,0 +1,94 @@
+"""IPCS solver tests.
+
+Golden values come from this framework's own verified f64 run, which
+matched the reference CSV at 5000 steps to 3.6e-8 (drag) / 3.0e-7 (lift)
+relative — see BASELINE.md and the stage-1 gate commit.  Short-horizon
+goldens guard against regressions without paying the 10-minute full solve;
+the full gate runs under `-m slow`.
+"""
+import numpy as np
+import pytest
+
+from meshdqn_tpu.mesh import read_xdmf, smooth
+from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
+
+# f64 trajectory values at steps 200 / 500 (1-indexed count of evolve steps)
+GOLD_DRAG_200 = -0.13741777684382556
+GOLD_DRAG_500 = -0.10715710994402826
+GOLD_LIFT_500 = -0.11007160584889464
+
+# Reference CSV endpoints (training_results/benchmark_results/*.csv)
+REF = {
+    "ys930_0.15000": (-0.1130622, -0.0462851),
+    "ah93w145_0.14000": (-0.1302693, -0.0504921),
+}
+
+
+@pytest.fixture(scope="module")
+def ys930_mesh(ys930_path):
+    return smooth(read_xdmf(ys930_path), 50)
+
+
+@pytest.fixture(scope="module")
+def solver64(ys930_mesh):
+    return IPCSSolver(ys930_mesh, IPCSConfig(precision="f64"))
+
+
+class TestF64Regression:
+    def test_drag_trajectory_golden(self, solver64):
+        st = solver64.initial_state()
+        st, d, l = solver64.evolve(st, 500)
+        assert np.isclose(float(d[199]), GOLD_DRAG_200, rtol=1e-10)
+        assert np.isclose(float(d[499]), GOLD_DRAG_500, rtol=1e-10)
+        assert np.isclose(float(l[499]), GOLD_LIFT_500, rtol=1e-9)
+
+    def test_determinism(self, solver64):
+        st1, d1, _ = solver64.evolve(solver64.initial_state(), 50)
+        st2, d2, _ = solver64.evolve(solver64.initial_state(), 50)
+        assert np.array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_velocity_respects_bcs(self, solver64, ys930_mesh):
+        st, _, _ = solver64.evolve(solver64.initial_state(), 100)
+        u = np.asarray(st.u)
+        ops = solver64.operators
+        # Dirichlet dofs hold their values exactly after every step.
+        bc = ops.u_bc_mask
+        assert np.allclose(u[bc], ops.u_bc_values[bc], atol=1e-12)
+        # Inflow max = 1.5 (Um), field bounded by a modest transient factor.
+        assert np.abs(u).max() < 3.0
+
+
+class TestPrecisionModes:
+    def test_f32_tracks_f64_short_horizon(self, ys930_mesh, solver64):
+        s32 = IPCSSolver(ys930_mesh, IPCSConfig(precision="f32"))
+        st64, d64, _ = solver64.evolve(solver64.initial_state(), 200)
+        st32, d32, _ = s32.evolve(s32.initial_state(), 200)
+        assert np.asarray(d32).dtype == np.float32
+        rel = abs(float(d64[-1]) - float(d32[-1])) / abs(float(d64[-1]))
+        assert rel < 1e-4  # observed ~1e-5..1e-4 at short horizon
+
+    def test_mixed_pressure_is_f64(self, ys930_mesh):
+        sm = IPCSSolver(ys930_mesh, IPCSConfig(precision="mixed", refine_iters=1))
+        st = sm.initial_state()
+        assert st.u.dtype == np.float32
+        assert st.p.dtype == np.float64
+        st, d, l = sm.evolve(st, 50)
+        assert np.isfinite(np.asarray(d)).all()
+
+
+@pytest.mark.slow
+class TestFullGate:
+    """The SURVEY.md stage-1 gate: full 5000-step solve vs reference CSV."""
+
+    @pytest.mark.parametrize("name", ["ys930_0.15000", "ah93w145_0.14000"])
+    def test_drag_lift_match_reference(self, name):
+        mesh = smooth(
+            read_xdmf(f"/root/reference/xdmf_files/{name}_triangle.xdmf"), 50
+        )
+        solver = IPCSSolver(mesh, IPCSConfig(precision="f64"))
+        out = solver.solve(5000, save_steps=1000)
+        gt_d, gt_l = REF[name]
+        d = float(out["snap_drags"][-1])
+        l = float(out["snap_lifts"][-1])
+        assert abs((d - gt_d) / gt_d) < 1e-3
+        assert abs((l - gt_l) / gt_l) < 1e-3
