@@ -1,0 +1,78 @@
+"""Deployment entry point.
+
+    python -m meshdqn_tpu.cli.deploy --config configs/ys930.yaml \
+        [--no-complete-traj] [--use-best] [--confirm] [--max-steps N] \
+        [--checkpoint DIR] [section.key=value ...]
+
+Replaces `python3 deploy_dqn.py` (reference README.md:30-37) with flags
+instead of edited module constants (deploy_dqn.py:58-69: complete_traj,
+plot_traj, end_plots, use_best, RESTART, CONFIRM).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--no-complete-traj", action="store_true")
+    ap.add_argument("--plot-traj", action="store_true")
+    ap.add_argument("--no-end-plots", action="store_true")
+    ap.add_argument("--use-best", action="store_true")
+    ap.add_argument("--confirm", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..deploy import Deployer, DeployOptions
+    from ..env import GroundTruth, compute_ground_truth
+    from ..rl import DQNConfig, init_dqn
+    from ..train import CheckpointManager
+    from ..models import init_params
+    from ..utils import Config
+
+    cfg = Config.from_yaml(args.config).apply_overrides(args.overrides)
+    base = os.path.join(cfg.save_dir, cfg.prefix.rstrip("_"))
+
+    gt_path = os.path.join(base, "ground_truth.npz")
+    if os.path.exists(gt_path):
+        gt = GroundTruth.load(gt_path)
+    else:
+        gt = compute_ground_truth(cfg)
+        os.makedirs(base, exist_ok=True)
+        gt.save(gt_path)
+
+    # Load the trained net from the run's checkpoints.
+    n_actions = cfg.agent.N_closest + 1
+    n_feat = 2 + 3 * (cfg.agent.solver_steps // cfg.agent.save_steps)
+    p1 = init_params(jax.random.PRNGKey(0), n_feat, n_actions, conv_width=128, topk=0.1)
+    p2 = init_params(jax.random.PRNGKey(1), n_feat, n_actions, conv_width=128, topk=0.1)
+    dqn = init_dqn(p1, p2, DQNConfig())
+    ckpt = CheckpointManager(os.path.join(base, "ckpt"))
+    restored = ckpt.restore(dqn)
+    if restored is not None:
+        dqn = restored[0]
+        print(f"loaded checkpoint step {restored[2]}")
+    else:
+        print("WARNING: no checkpoint found; deploying an untrained net")
+
+    opts = DeployOptions(
+        complete_traj=not args.no_complete_traj,
+        plot_traj=args.plot_traj,
+        end_plots=not args.no_end_plots,
+        use_best=args.use_best,
+        confirm=args.confirm,
+    )
+    Deployer(cfg, gt, dqn.params1, options=opts).run(max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

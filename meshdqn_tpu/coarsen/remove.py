@@ -49,11 +49,31 @@ class RemovalResult:
     removed_coordinate: np.ndarray | None
 
 
+def _triangulate(points: np.ndarray, backend: str) -> np.ndarray:
+    """Global Delaunay of the point set.
+
+    backend 'native' uses our Bowyer–Watson C++ core (meshdqn_tpu/native),
+    which reproduces Qhull's triangle set exactly on the stock meshes
+    (tests/test_native.py); 'scipy' is the Qhull path the reference uses.
+    'auto' prefers native with scipy fallback.
+    """
+    if backend in ("auto", "native"):
+        try:
+            from ..native import delaunay_native
+
+            return delaunay_native(points)
+        except RuntimeError:
+            if backend == "native":
+                raise
+    return Delaunay(points).simplices.astype(np.int32)
+
+
 def remove_vertex(
     mesh: TriMesh,
     vertex: int,
     removable_mask: np.ndarray | None = None,
     min_area: float = 1e-14,
+    backend: str = "auto",
 ) -> RemovalResult:
     """Remove `vertex` (index into mesh.coords) and re-triangulate.
 
@@ -81,11 +101,9 @@ def remove_vertex(
     new_coords = np.delete(coords, vertex, axis=0)
 
     try:
-        tri = Delaunay(new_coords)
-    except (QhullError, ValueError):
+        cells = _triangulate(new_coords, backend)
+    except (QhullError, ValueError, RuntimeError):
         return RemovalResult(RemovalStatus.BROKE_MESH, None, None)
-
-    cells = tri.simplices.astype(np.int32)
     # Hole carving: drop cells made only of boundary vertices
     # (Env2DAirfoil.py:496).  Note this is the *reference's* rule: it also
     # removes any all-boundary sliver along the outer walls.

@@ -1,0 +1,272 @@
+"""Greedy policy deployment with optional per-removal re-simulation.
+
+Re-design of deploy_dqn.py (reference :58-517):
+
+* greedy rollout: action = argmax of policy net 1 (deploy_dqn.py:201-202),
+  or replay of the highest-return training episode (`use_best`, :242-257,
+  :322-327);
+* per step, record the interpolated drag/lift estimate for every snapshot
+  (est_* trajectories, :306-313, :388-391);
+* `complete_traj`: after every actual removal, run the FULL transient solve
+  on the coarsened mesh and record snapshot drags/lifts (run_sim, :262-269,
+  :376-387) — the deploy-time analog of flow_solver.deploy(): the solver is
+  rebuilt per mesh (here: re-assembled + re-inverted; on a TPU backend the
+  factorizations happen on-device in seconds);
+* incremental .npy artifacts with the reference's exact names/layouts
+  ({obj}_interpolate_drag_trajectory.npy columns [verts, drags(S), lifts(S)],
+  {obj}_drag_trajectory.npy, {obj}_complete_drags/lifts.npy, :392-463);
+* best-mesh rollback: the mesh from just before termination is the
+  deliverable (:420-424, :447);
+* final timed re-simulation on the best mesh + error report (:496-517).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..env import AirfoilEnv, GroundTruth
+from ..mesh import TriMesh
+from ..rl import select_action
+from ..solver import IPCSConfig, IPCSSolver
+from ..utils import Config
+
+
+@dataclass
+class DeployOptions:
+    """The reference's module-level deploy flags (deploy_dqn.py:58-69)."""
+
+    complete_traj: bool = True
+    plot_traj: bool = False
+    end_plots: bool = True
+    use_best: bool = False
+    confirm: bool = False
+    output_dir: str = "deployed"
+
+
+@dataclass
+class DeployResult:
+    actions: list
+    removed_coords: list
+    initial_vertices: int
+    final_vertices: int
+    best_mesh: TriMesh
+    est_vertices: np.ndarray
+    est_drags: np.ndarray  # (T+1, S)
+    est_lifts: np.ndarray
+    traj_vertices: list = field(default_factory=list)
+    complete_drags: list = field(default_factory=list)  # (T+1) x (S,)
+    complete_lifts: list = field(default_factory=list)
+    final_drag: float = float("nan")
+    final_sim_s: float = float("nan")
+    drag_error_pct: float = float("nan")
+
+
+def run_sim(mesh: TriMesh, config: Config):
+    """Full transient solve on `mesh`; returns snapshot drags/lifts
+    (run_sim, deploy_dqn.py:262-269)."""
+    solver = IPCSSolver(
+        mesh,
+        IPCSConfig(
+            mu=config.flow.mu,
+            rho=config.flow.rho,
+            dt=config.flow.dt,
+            precision=config.flow.precision,
+            refine_iters=config.flow.refine_iters,
+        ),
+    )
+    out = solver.solve(config.agent.solver_steps, save_steps=config.agent.save_steps)
+    return np.asarray(out["snap_drags"]), np.asarray(out["snap_lifts"])
+
+
+class Deployer:
+    def __init__(
+        self,
+        config: Config,
+        ground_truth: GroundTruth,
+        params1: dict,
+        options: DeployOptions | None = None,
+        topk: float = 0.1,
+    ):
+        self.config = config
+        self.gt = ground_truth
+        self.params1 = params1
+        self.opts = options or DeployOptions()
+        self.topk = topk
+        base = os.path.join(config.save_dir, config.prefix.rstrip("_"))
+        out = os.path.join(base, self.opts.output_dir)
+        if self.opts.confirm:
+            out = os.path.join(out, "confirmed")
+        self.out_dir = out
+        os.makedirs(out, exist_ok=True)
+        self.obj = config.prefix.rstrip("_")
+
+    # ------------------------------------------------------------------
+    def _best_episode_actions(self) -> list[int]:
+        """Replay the best training episode (deploy_dqn.py:242-257)."""
+        base = os.path.join(self.config.save_dir, self.config.prefix.rstrip("_"))
+        actions = np.load(
+            os.path.join(base, self.config.prefix + "actions.npy"), allow_pickle=True
+        )
+        rewards = np.load(
+            os.path.join(base, self.config.prefix + "rewards.npy"), allow_pickle=True
+        )
+        ep_rews = np.array([np.sum(r) for r in rewards])
+        best = int(np.argmax(ep_rews))
+        return [int(a) for a in actions[best]]
+
+    def _save_est(self, est_vertices, est_drags, est_lifts):
+        est_data = np.hstack(
+            [
+                np.asarray(est_vertices)[:, None],
+                np.asarray(est_drags),
+                np.asarray(est_lifts),
+            ]
+        )
+        np.save(
+            os.path.join(self.out_dir, f"{self.obj}_interpolate_drag_trajectory.npy"),
+            est_data,
+        )
+
+    def _save_traj(self, traj_vertices, traj_drags, traj_lifts):
+        data = np.hstack(
+            [
+                np.asarray(traj_vertices)[:, None],
+                np.asarray(traj_drags),
+                np.asarray(traj_lifts),
+            ]
+        )
+        np.save(
+            os.path.join(self.out_dir, f"{self.obj}_drag_trajectory.npy"), data
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, max_steps: int | None = None) -> DeployResult:
+        cfg = self.config
+        opts = self.opts
+        env = AirfoilEnv(cfg, ground_truth=self.gt)
+        state = env.reset()
+        # Initial interpolated values (state, _ = env.calculate_reward()
+        # before the loop, deploy_dqn.py:299-313).
+        env.calculate_reward()
+
+        best_actions = self._best_episode_actions() if opts.use_best else None
+
+        est_vertices = [env.mesh.num_vertices]
+        est_drags = [env.new_drags.copy()]
+        est_lifts = [env.new_lifts.copy()]
+        traj_vertices = [env.mesh.num_vertices]
+        traj_drags = [np.asarray(self.gt.gt_drag)]
+        traj_lifts = [np.asarray(self.gt.gt_lift)]
+        complete_drags = [np.asarray(self.gt.gt_drag)]
+        complete_lifts = [np.asarray(self.gt.gt_lift)]
+
+        actions_taken, removed_coords = [], []
+        best_mesh = env.mesh
+        num_steps = max_steps or cfg.agent.timesteps
+
+        from .viz import vertex_plot
+
+        for t in range(num_steps):
+            if best_actions is not None:
+                if t >= len(best_actions):
+                    break
+                action = best_actions[t]
+            else:
+                action = int(select_action(self.params1, state, topk=self.topk))
+
+            removing = action < env.action_space_n
+            if removing and len(env._current_window) > action:
+                removed_coords.append(
+                    env.mesh.coords[env._current_window[action]].copy()
+                )
+                if opts.plot_traj or (opts.end_plots and t == 0):
+                    vertex_plot(
+                        env.mesh,
+                        os.path.join(
+                            self.out_dir,
+                            f"{env.mesh.num_vertices:08d}_{self.obj}_mesh_selected",
+                        ),
+                        title=f"{self.obj.split('_')[0].upper()} Mesh",
+                        vertex_coord=removed_coords[-1],
+                    )
+
+            state, reward, done, info = env.step(action)
+            est_drags.append(env.new_drags.copy())
+            est_lifts.append(env.new_lifts.copy())
+            est_vertices.append(env.mesh.num_vertices)
+            actions_taken.append(action if removing else None)
+
+            if opts.complete_traj and removing and info.removed == 0:
+                d, l = run_sim(env.mesh, cfg)
+                traj_drags.append(d)
+                traj_lifts.append(l)
+                traj_vertices.append(env.mesh.num_vertices)
+                complete_drags.append(d)
+                complete_lifts.append(l)
+
+            # Incremental saves (deploy_dqn.py:392-417).
+            self._save_est(est_vertices, est_drags, est_lifts)
+            if opts.complete_traj:
+                self._save_traj(traj_vertices, traj_drags, traj_lifts)
+
+            if done:
+                break
+            best_mesh = env.mesh  # last mesh BEFORE termination
+
+        if opts.end_plots and removed_coords:
+            vertex_plot(
+                env.mesh,
+                os.path.join(
+                    self.out_dir,
+                    f"{env.mesh.num_vertices:08d}_{self.obj}_mesh_final",
+                ),
+                title=f"{self.obj.split('_')[0].upper()} Mesh",
+                vertex_coord=removed_coords[-1],
+            )
+
+        np.save(
+            os.path.join(self.out_dir, f"{self.obj}_complete_drags.npy"),
+            np.asarray(complete_drags, dtype=object),
+            allow_pickle=True,
+        )
+        np.save(
+            os.path.join(self.out_dir, f"{self.obj}_complete_lifts.npy"),
+            np.asarray(complete_lifts, dtype=object),
+            allow_pickle=True,
+        )
+
+        # Final timed re-simulation on the rolled-back best mesh
+        # (deploy_dqn.py:496-517).
+        t0 = time.time()
+        final_drags, final_lifts = run_sim(best_mesh, cfg)
+        final_sim_s = time.time() - t0
+        gt_final = float(np.asarray(self.gt.gt_drag)[-1])
+        new_drag = float(final_drags[-1])
+        err_pct = 100.0 * abs(new_drag - gt_final) / abs(gt_final)
+
+        result = DeployResult(
+            actions=actions_taken,
+            removed_coords=removed_coords,
+            initial_vertices=env.initial_num_nodes,
+            final_vertices=best_mesh.num_vertices,
+            best_mesh=best_mesh,
+            est_vertices=np.asarray(est_vertices),
+            est_drags=np.asarray(est_drags),
+            est_lifts=np.asarray(est_lifts),
+            traj_vertices=traj_vertices,
+            complete_drags=complete_drags,
+            complete_lifts=complete_lifts,
+            final_drag=new_drag,
+            final_sim_s=final_sim_s,
+            drag_error_pct=err_pct,
+        )
+        print(f"INITIAL NUMBER OF VERTICES: {result.initial_vertices}")
+        print(f"NUMBER OF VERTICES REMOVED: {len(removed_coords)}")
+        print(f"FINAL NUMBER OF VERTICES: {result.final_vertices}")
+        print(f"GROUND TRUTH DRAG:\t{gt_final:.6f}")
+        print(f"NEW DRAG:\t\t{new_drag:.6f}\tSIM TIME: {final_sim_s:.2f}s")
+        print(f"DRAG ERROR:\t{err_pct:.5f}%")
+        return result

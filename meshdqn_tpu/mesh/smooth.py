@@ -1,16 +1,20 @@
 """Damped Laplacian mesh smoothing, dolfin-equivalent.
 
 The reference calls dolfin `Mesh::smooth(50)` on load and after every remesh
-(reference flow_solver.py:66-67, 236-237).  Dolfin's MeshSmoothing::smooth is a
-Gauss–Seidel sweep: vertices are visited in index order, each interior vertex
-is pulled toward the barycenter of its edge-neighbours, with the displacement
-clamped to half the minimum distance from the vertex to the opposite facets of
-its star (so cells cannot invert).  Boundary vertices never move.
+(reference flow_solver.py:66-67, 236-237).  Dolfin's MeshSmoothing::smooth is
+a Gauss–Seidel sweep: vertices are visited in index order, each interior
+vertex is pulled toward the barycenter of its edge-neighbours, with the
+displacement clamped to half the minimum distance from the vertex to the
+opposite facets of its star (so cells cannot invert).  Boundary vertices
+never move.
 
-This module reproduces those semantics in NumPy.  It is a one-time,
-host-side preprocessing step (the solve itself never moves vertices), so a
-sequential sweep is fine; the inner loop is vectorised over each vertex's
-star.
+Two implementations with identical semantics:
+* a native C++ core (meshdqn_tpu/native/csrc/smooth.cpp, ~1000x the Python
+  sweep) used by default when the toolchain is available — smoothing runs on
+  every remesh, i.e. every environment step, so it is the host-side hot
+  path;
+* the pure-NumPy sweep below as the portable fallback and cross-check
+  (tests/test_native.py verifies bitwise-level agreement).
 """
 from __future__ import annotations
 
@@ -19,58 +23,78 @@ import numpy as np
 from .trimesh import TriMesh
 
 
-def smooth(mesh: TriMesh, num_iterations: int = 50) -> TriMesh:
-    """Return a new TriMesh with smoothed interior vertex positions."""
-    coords = mesh.coords.copy()
+def _star_topology(mesh: TriMesh):
+    """CSR neighbour lists + per-vertex opposite-facet endpoint pairs."""
+    coords = mesh.coords
     cells = mesh.cells
     V = len(coords)
 
-    on_boundary = mesh.boundary_vertex_mask
+    # Neighbours via edges, ascending per vertex.
+    e = mesh.edges
+    both = np.concatenate([e, e[:, ::-1]], axis=0)
+    order = np.lexsort((both[:, 1], both[:, 0]))
+    both = both[order]
+    nbr_indices = both[:, 1].astype(np.int64)
+    nbr_offsets = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(nbr_offsets, both[:, 0] + 1, 1)
+    nbr_offsets = np.cumsum(nbr_offsets)
 
-    # vertex -> neighbour vertices (via edges), and vertex -> incident cells
-    neighbors: list[list[int]] = [[] for _ in range(V)]
-    for a, b in mesh.edges:
-        neighbors[a].append(b)
-        neighbors[b].append(a)
-    vertex_cells: list[list[int]] = [[] for _ in range(V)]
-    for ci, cell in enumerate(cells):
-        for v in cell:
-            vertex_cells[v].append(ci)
+    # Incident cells: for each (vertex, cell) pair, the two other vertices.
+    vc_v = cells.ravel().astype(np.int64)  # vertex of each (cell, slot)
+    C = len(cells)
+    cell_ids = np.repeat(np.arange(C), 3)
+    order = np.argsort(vc_v, kind="stable")
+    vc_v = vc_v[order]
+    vc_c = cell_ids[order]
+    slot = np.tile(np.arange(3), C)[order]
+    others = np.array([[1, 2], [0, 2], [0, 1]])
+    opp = cells[vc_c[:, None], others[slot]]  # (K, 2)
+    opp_a = opp[:, 0].astype(np.int64)
+    opp_b = opp[:, 1].astype(np.int64)
+    opp_offsets = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(opp_offsets, vc_v + 1, 1)
+    opp_offsets = np.cumsum(opp_offsets)
 
-    nbr = [np.array(n, dtype=np.int64) for n in neighbors]
-    # For each interior vertex, precompute for every incident cell the two
-    # opposite-facet endpoints (the facet opposite the vertex in that cell).
-    opp_a = [None] * V
-    opp_b = [None] * V
-    for v in range(V):
-        if on_boundary[v]:
-            continue
-        cs = cells[vertex_cells[v]]  # (k,3)
-        # The two vertices of each incident cell that are not v.
-        others = np.array([[x for x in c if x != v] for c in cs], dtype=np.int64)
-        opp_a[v] = others[:, 0]
-        opp_b[v] = others[:, 1]
+    interior = np.flatnonzero(~mesh.boundary_vertex_mask).astype(np.int64)
+    return nbr_indices, nbr_offsets, opp_a, opp_b, opp_offsets, interior
 
-    interior = np.flatnonzero(~on_boundary)
+
+def smooth(mesh: TriMesh, num_iterations: int = 50, use_native: bool = True) -> TriMesh:
+    """Return a new TriMesh with smoothed interior vertex positions."""
+    topo = _star_topology(mesh)
+    if use_native:
+        try:
+            from ..native import smooth_native
+
+            coords = smooth_native(mesh.coords, *topo, num_iterations)
+            return TriMesh(coords=coords, cells=mesh.cells)
+        except RuntimeError:
+            pass
+    return _smooth_python(mesh, topo, num_iterations)
+
+
+def _smooth_python(mesh: TriMesh, topo, num_iterations: int) -> TriMesh:
+    nbr_indices, nbr_offsets, opp_a, opp_b, opp_offsets, interior = topo
+    coords = mesh.coords.copy()
     eps = 3.0e-16  # DOLFIN_EPS
 
     for _ in range(num_iterations):
         for v in interior:
             p = coords[v]
-            bary = coords[nbr[v]].mean(axis=0)
+            nb, ne = nbr_offsets[v], nbr_offsets[v + 1]
+            bary = coords[nbr_indices[nb:ne]].mean(axis=0)
             d = bary - p
             r = float(np.sqrt(d @ d))
             if r < eps:
                 continue
-            # Distance from p to each opposite facet line (facet = (a, b)).
-            a = coords[opp_a[v]]
-            b = coords[opp_b[v]]
+            ob, oe = opp_offsets[v], opp_offsets[v + 1]
+            a = coords[opp_a[ob:oe]]
+            b = coords[opp_b[ob:oe]]
             t = b - a
-            tlen = np.linalg.norm(t, axis=1)
-            # Perpendicular distance from p to the line through a-b.
+            tlen = np.sqrt((t * t).sum(axis=1))
             cross = np.abs(t[:, 0] * (p[1] - a[:, 1]) - t[:, 1] * (p[0] - a[:, 0]))
             rmin = float(np.min(cross / tlen))
             step = min(0.5 * rmin, r)
             coords[v] = p + step * d / r
 
-    return TriMesh(coords=coords, cells=cells)
+    return TriMesh(coords=coords, cells=mesh.cells)

@@ -57,11 +57,18 @@ class FlowState(NamedTuple):
 
 
 class DeviceOperators(NamedTuple):
-    """Everything the jitted step needs, as a pytree of device arrays."""
+    """Everything the jitted step needs, as a pytree of device arrays.
 
-    A1inv: jnp.ndarray
-    A2inv: jnp.ndarray
-    A3inv: jnp.ndarray
+    A3 (= the vector mass matrix with velocity BCs) is block-diagonal over
+    components with identical blocks, so only the SCALAR mass inverse
+    (Ns x Ns) is stored and applied to both components as one (Ns, 2)
+    matmul — half the HBM traffic and an eighth of the factorization cost
+    of the naive 2Ns x 2Ns inverse.
+    """
+
+    A1inv: jnp.ndarray  # (2Ns, 2Ns)
+    A2inv: jnp.ndarray  # (Np, Np)
+    A3inv_s: jnp.ndarray  # (Ns, Ns) scalar-mass inverse
     A1bc: Optional[EllMatrix]  # only in 'mixed' mode
     A2bc: Optional[EllMatrix]
     A3bc: Optional[EllMatrix]
@@ -115,7 +122,9 @@ def ipcs_step(dev: DeviceOperators, state: FlowState, precision: str, refine_ite
     dp = (p_new - p_n).astype(dev.t1.dtype)
     b3 = (dev.M @ u_star) - dev.dt * (dev.G @ dp)
     b3 = b3 * dev.z_u + dev.t3
-    u_new = dev.A3inv @ b3
+    ns = dev.A3inv_s.shape[0]
+    y = dev.A3inv_s @ jnp.stack([b3[:ns], b3[ns:]], axis=1)  # (Ns, 2)
+    u_new = jnp.concatenate([y[:, 0], y[:, 1]])
 
     new_state = FlowState(u=u_new, p=p_new)
     drag = dev.drag_u @ u_new + dev.drag_p @ p_new
@@ -137,8 +146,11 @@ class IPCSConfig:
     mu: float = 1e-3
     rho: float = 1.0
     dt: float = 1e-3
-    precision: str = "f64"  # 'f64' | 'mixed'
+    precision: str = "f64"  # 'f64' | 'f32' | 'mixed'
     refine_iters: int = 2  # for 'mixed'
+    # None = auto: invert the systems on the accelerator when running the
+    # f32 path on a TPU backend (seconds vs ~35 s on a 1-core host).
+    invert_on_device: bool | None = None
 
 
 class IPCSSolver:
@@ -158,11 +170,15 @@ class IPCSSolver:
         self.ndofs_u = ops.V.ndofs
         self.ndofs_p = ops.Q.ndofs
 
-        # --- BC-eliminated systems, inverted once on host ---------------
+        # --- BC-eliminated systems, inverted once ------------------------
         A1, A2, A3 = ops.A1, ops.A2, ops.A3
+        Ns = ops.V.scalar.ndofs
         A1bc = apply_bc_symmetric(A1, ops.u_bc_mask)
         A2bc = apply_bc_symmetric(A2, ops.p_bc_mask)
-        A3bc = apply_bc_symmetric(A3, ops.u_bc_mask)
+        # A3 = vector mass, block-diagonal with identical component blocks
+        # and identical per-component BC masks -> invert the scalar block.
+        Ms = ops.M[:Ns, :Ns].tocsr()
+        A3bc_s = apply_bc_symmetric(Ms, ops.u_bc_mask[:Ns])
 
         mixed = cfg.precision == "mixed"
         # wdt: dtype of the (large) velocity path; pdt: of the (small,
@@ -172,9 +188,22 @@ class IPCSSolver:
         self.work_dtype = wdt
         self.pressure_dtype = pdt
         inv_dtype = np.float32 if cfg.precision in ("mixed", "f32") else np.float64
-        A1i = scipy.linalg.inv(A1bc.toarray(), overwrite_a=True).astype(inv_dtype)
-        A2i = scipy.linalg.inv(A2bc.toarray(), overwrite_a=True).astype(inv_dtype)
-        A3i = scipy.linalg.inv(A3bc.toarray(), overwrite_a=True).astype(inv_dtype)
+
+        on_device = cfg.invert_on_device
+        if on_device is None:
+            on_device = cfg.precision == "f32" and jax.default_backend() == "tpu"
+
+        def _inv(A_sp):
+            if on_device:
+                A = jnp.asarray(A_sp.toarray(), dtype=jnp.float32)
+                return jnp.linalg.inv(A).astype(inv_dtype)
+            return jnp.asarray(
+                scipy.linalg.inv(A_sp.toarray(), overwrite_a=True).astype(inv_dtype)
+            )
+
+        A1i = _inv(A1bc)
+        A2i = _inv(A2bc)
+        A3i_s = _inv(A3bc_s)
 
         gu, gp = ops.u_bc_values, ops.p_bc_values
         zu = (~ops.u_bc_mask).astype(np.float64)
@@ -188,7 +217,7 @@ class IPCSSolver:
         self.dev = DeviceOperators(
             A1inv=jnp.asarray(A1i),
             A2inv=jnp.asarray(A2i),
-            A3inv=jnp.asarray(A3i),
+            A3inv_s=jnp.asarray(A3i_s),
             A1bc=None,
             A2bc=EllMatrix.from_scipy(A2bc, dtype=pdt) if mixed else None,
             A3bc=None,

@@ -119,6 +119,25 @@ def eval_p1(src: SourceField, p: jnp.ndarray, points: jnp.ndarray):
     return jnp.sum(phi * p[src.cell_dofs_p1[cells]], axis=1)
 
 
+@jax.jit
+def _eval_all(src: SourceField, u_all: jnp.ndarray, p_all: jnp.ndarray,
+              pts: jnp.ndarray):
+    """Evaluate S vector-P2 fields and S P1 fields at shared points.
+
+    u_all: (S, 2Ns), p_all: (S, Np), pts: (P, 2).
+    Returns (S, P, 2) velocities and (S, P) pressures.
+    """
+    cells, xi = locate(src, pts)
+    phi2 = _p2_basis_jnp(xi)  # (P, 6)
+    dofs2 = src.cell_dofs_p2[cells]  # (P, 6)
+    ux = jnp.einsum("pa,spa->sp", phi2, u_all[:, dofs2])
+    uy = jnp.einsum("pa,spa->sp", phi2, u_all[:, src.ns + dofs2])
+    phi1 = _p1_basis_jnp(xi)  # (P, 3)
+    dofs1 = src.cell_dofs_p1[cells]
+    pv = jnp.einsum("pa,spa->sp", phi1, p_all[:, dofs1])
+    return jnp.stack([ux, uy], axis=-1), pv
+
+
 # ----------------------------------------------------------------------
 # Snapshot transfer onto a (coarsened) target mesh
 # ----------------------------------------------------------------------
@@ -147,17 +166,37 @@ class SnapshotTransfer:
         self.src = SourceField.build(source_mesh)
         self.u_src = jnp.asarray(np.stack(snapshots.u))  # (S, 2Ns)
         self.p_src = jnp.asarray(np.stack(snapshots.p))  # (S, Np)
+        # Static padded target budgets: coarsening only shrinks the mesh, so
+        # the source sizes bound every target — evaluation never recompiles
+        # as the episode progresses.
+        self._budget2 = P2Space(source_mesh).ndofs
+        self._budget1 = source_mesh.num_vertices
+
+    def _padded(self, pts: np.ndarray, budget: int) -> jnp.ndarray:
+        n = len(pts)
+        if n > budget:  # target grew beyond the source (not the MeshDQN
+            return jnp.asarray(pts)  # flow); evaluate unpadded
+        out = np.zeros((budget, 2))
+        out[:n] = pts
+        return jnp.asarray(out)
 
     def to_mesh(self, target: TriMesh) -> SnapshotSet:
-        """Interpolate all snapshots onto `target`'s P2/P1 dofs."""
+        """Interpolate all snapshots onto `target`'s P2/P1 dofs.
+
+        One point-location pass serves everything: the P1 dof points
+        (vertices) are exactly the first V entries of the P2 dof points, and
+        location is field-independent, so all S velocity and S pressure
+        fields share a single locate() over the padded P2 points.
+        """
         Vs = P2Space(target)
-        pts2 = jnp.asarray(Vs.dof_coords())  # (Ns_t, 2)
-        pts1 = jnp.asarray(target.coords)  # (Np_t, 2)
-        uv = jax.vmap(lambda u: eval_p2_vector(self.src, u, pts2))(self.u_src)
-        # (S, Ns_t, 2) -> block layout (S, 2 Ns_t)
-        u_new = jnp.concatenate([uv[..., 0], uv[..., 1]], axis=1)
-        p_new = jax.vmap(lambda p: eval_p1(self.src, p, pts1))(self.p_src)
-        return SnapshotSet(u=np.asarray(u_new), p=np.asarray(p_new))
+        n2 = Vs.ndofs
+        n1 = target.num_vertices
+        pts2 = self._padded(Vs.dof_coords(), self._budget2)
+        uv, pv = _eval_all(self.src, self.u_src, self.p_src, pts2)
+        uv = np.asarray(uv)[:, :n2, :]  # (S, Ns_t, 2)
+        u_new = np.concatenate([uv[..., 0], uv[..., 1]], axis=1)
+        p_new = np.asarray(pv)[:, :n1]
+        return SnapshotSet(u=u_new, p=p_new)
 
     def vertex_fields(self, target: TriMesh, snaps: SnapshotSet):
         """velocities (S, V, 2) and pressures (S, V) at target vertices.
