@@ -18,18 +18,18 @@ the TPU, so the design is assemble-once / invert-once / matvec-many:
   passed to the jitted function as a pytree argument (never baked into HLO).
 
 Precision modes:
-  'f64'   — everything f64 (reference-accurate; default; CPU oracle —
-            f64 is software-emulated and slow on v5e-class TPUs).
-  'f32'   — everything f32: the fastest TPU path (~25x the reference's
-            per-step rate on v5e).  Drag matches the reference to ~6e-4;
-            lift to ~2e-3.
-  'mixed' — hybrid: velocity-sized (2Ns) operators and state in f32, the
-            pressure path in f64 with `refine_iters` iterative-refinement
-            sweeps on the pressure solve.  Measured on the stock meshes the
-            end-to-end error is dominated by f32 phase drift in the
-            VELOCITY path, so this mode currently tracks 'f32' accuracy at
-            ~3x its step cost — kept as the scaffold for a future
-            double-f32 velocity path (see ROADMAP).
+  'f64'   — everything f64 (reference-accurate to ~4e-8 drag; default; the
+            CPU oracle — f64 is software-emulated and slow on v5e TPUs).
+  'f32'   — the TPU fast path; by default uses the FUSED dense-operator
+            step (solver/fused.py): 1.0 ms/step on v5e — a full 5000-step
+            ys930 solve in ~5 s vs the reference's 109 s (21.9x), drag
+            within 6e-5 / lift within 6e-4 of the reference.  Requires
+            'highest' matmul precision (set in meshdqn_tpu/__init__) —
+            default bf16 MXU passes cost ~4x accuracy.
+  'mixed' — hybrid: velocity path f32, pressure path f64 with iterative
+            refinement.  Measured accuracy tracks 'f32' (the error is f32
+            phase drift in the velocity path) at ~3x the step cost; kept as
+            the scaffold for a future double-f32 velocity path.
 """
 from __future__ import annotations
 
@@ -141,6 +141,16 @@ def evolve_n(dev: DeviceOperators, state: FlowState, n_steps: int,
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
+@partial(jax.jit, static_argnames=("n_steps",))
+def evolve_fused_n(dev, state: FlowState, n_steps: int):
+    from .fused import fused_step
+
+    def body(s, _):
+        return fused_step(dev, s)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
 @dataclass
 class IPCSConfig:
     mu: float = 1e-3
@@ -151,6 +161,10 @@ class IPCSConfig:
     # None = auto: invert the systems on the accelerator when running the
     # f32 path on a TPU backend (seconds vs ~35 s on a 1-core host).
     invert_on_device: bool | None = None
+    # Fused-dense step (solver/fused.py): compose solve+assemble+BC into
+    # constant dense operators — no gathers in the linear path.  None =
+    # auto: on for the f32 path.
+    fused: bool | None = None
 
 
 class IPCSSolver:
@@ -189,6 +203,51 @@ class IPCSSolver:
         self.pressure_dtype = pdt
         inv_dtype = np.float32 if cfg.precision in ("mixed", "f32") else np.float64
 
+        gu, gp = ops.u_bc_values, ops.p_bc_values
+        zu = (~ops.u_bc_mask).astype(np.float64)
+        zp = (~ops.p_bc_mask).astype(np.float64)
+        dprobe = drag_probe(mesh, self.markers, cfg.mu)
+        lprobe = lift_probe(mesh, self.markers, cfg.mu)
+        self.drag = dprobe
+        self.lift = lprobe
+        # `removable` equivalent of flow_solver.py:75-78, with the
+        # numpy-broadcasting bug there fixed: a vertex is removable iff it is
+        # not a boundary vertex (SURVEY.md §2a known defects).
+        self.removable = ~mesh.boundary_vertex_mask
+
+        self.fused = cfg.fused if cfg.fused is not None else cfg.precision == "f32"
+        if self.fused:
+            if cfg.precision != "f32":
+                raise ValueError("fused=True requires precision='f32'")
+            from .fused import build_fused
+
+            self.work_dtype = jnp.float32
+            self.pressure_dtype = jnp.float32
+            self.dev = build_fused(
+                A1bc=A1bc,
+                A2bc=A2bc,
+                A3bc_s=A3bc_s,
+                R1=ops.R1,
+                P1m=(ops.B - ops.Bn).tocsr(),
+                Kp=ops.Kp,
+                BT=ops.B.T.tocsr(),
+                Ms=Ms,
+                G=ops.G,
+                z_u=zu,
+                z_p=zp,
+                t1=gu - zu * (A1 @ gu),
+                t2=gp - zp * (A2 @ gp),
+                t3=gu - zu * (A3 @ gu),
+                dt=cfg.dt,
+                rho=cfg.rho,
+                conv=ConvectionKernel.build(mesh, dtype=jnp.float32),
+                drag_u=dprobe.d_u,
+                drag_p=dprobe.d_p,
+                lift_u=lprobe.d_u,
+                lift_p=lprobe.d_p,
+            )
+            return
+
         on_device = cfg.invert_on_device
         if on_device is None:
             on_device = cfg.precision == "f32" and jax.default_backend() == "tpu"
@@ -204,15 +263,6 @@ class IPCSSolver:
         A1i = _inv(A1bc)
         A2i = _inv(A2bc)
         A3i_s = _inv(A3bc_s)
-
-        gu, gp = ops.u_bc_values, ops.p_bc_values
-        zu = (~ops.u_bc_mask).astype(np.float64)
-        zp = (~ops.p_bc_mask).astype(np.float64)
-
-        dprobe = drag_probe(mesh, self.markers, cfg.mu)
-        lprobe = lift_probe(mesh, self.markers, cfg.mu)
-        self.drag = dprobe
-        self.lift = lprobe
 
         self.dev = DeviceOperators(
             A1inv=jnp.asarray(A1i),
@@ -241,11 +291,6 @@ class IPCSSolver:
             dt=jnp.asarray(cfg.dt, dtype=wdt),
         )
 
-        # `removable` equivalent of flow_solver.py:75-78, with the
-        # numpy-broadcasting bug there fixed: a vertex is removable iff it is
-        # not a boundary vertex (SURVEY.md §2a known defects).
-        self.removable = ~mesh.boundary_vertex_mask
-
     # ------------------------------------------------------------------
     def initial_state(self) -> FlowState:
         """Zero initial condition, like the reference's fresh Functions
@@ -257,9 +302,13 @@ class IPCSSolver:
 
     def evolve(self, state: FlowState, n_steps: int = 1):
         """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
-        state, (drags, lifts) = evolve_n(
-            self.dev, state, n_steps, self.config.precision, self.config.refine_iters
-        )
+        if self.fused:
+            state, (drags, lifts) = evolve_fused_n(self.dev, state, n_steps)
+        else:
+            state, (drags, lifts) = evolve_n(
+                self.dev, state, n_steps, self.config.precision,
+                self.config.refine_iters,
+            )
         return state, drags, lifts
 
     def solve(
