@@ -52,6 +52,10 @@ class GroundTruth:
     snapshots: SnapshotSet  # S snapshots of (u, p) on `mesh`
     gt_drag: np.ndarray  # (S,)
     gt_lift: np.ndarray  # (S,)
+    # Wall-clock of the ground-truth solve.  The reference carries a
+    # `gt_time` config slot that is never actually measured and stays -1
+    # forever (SURVEY.md §2a known defects); here it is real.
+    gt_time: float = -1.0
 
     def save(self, path: str) -> None:
         np.savez_compressed(
@@ -62,6 +66,7 @@ class GroundTruth:
             p=self.snapshots.p,
             gt_drag=self.gt_drag,
             gt_lift=self.gt_lift,
+            gt_time=np.asarray(self.gt_time),
         )
 
     @classmethod
@@ -72,6 +77,7 @@ class GroundTruth:
             snapshots=SnapshotSet(u=z["u"], p=z["p"]),
             gt_drag=z["gt_drag"],
             gt_lift=z["gt_lift"],
+            gt_time=float(z["gt_time"]) if "gt_time" in z else -1.0,
         )
 
 
@@ -90,7 +96,11 @@ def compute_ground_truth(config: Config) -> GroundTruth:
             refine_iters=config.flow.refine_iters,
         ),
     )
+    import time as _time
+
+    t0 = _time.time()
     out = solver.solve(config.agent.solver_steps, save_steps=config.agent.save_steps)
+    gt_time = _time.time() - t0
     u = np.stack([np.asarray(s.u) for s in out["snapshots"]])
     p = np.stack([np.asarray(s.p) for s in out["snapshots"]])
     return GroundTruth(
@@ -98,6 +108,7 @@ def compute_ground_truth(config: Config) -> GroundTruth:
         snapshots=SnapshotSet(u=u, p=p),
         gt_drag=out["snap_drags"],
         gt_lift=out["snap_lifts"],
+        gt_time=gt_time,
     )
 
 
@@ -138,8 +149,14 @@ class AirfoilEnv:
         self.ring = airfoil_polyline(ground_truth.mesh)
         self.gt_drag = np.asarray(ground_truth.gt_drag, dtype=np.float64)
         self.gt_lift = np.asarray(ground_truth.gt_lift, dtype=np.float64)
+        self.gt_time = ground_truth.gt_time
 
         self.reset()
+
+    def return_vals(self):
+        """(gt_drag, gt_time) — Env2DAirfoil.py:167-168, with gt_time
+        actually measured (the reference leaves it at -1)."""
+        return self.gt_drag, self.gt_time
 
     # ------------------------------------------------------------------
     def reset(self) -> GraphState:

@@ -37,3 +37,7 @@ __all__ = [
     "surrogate_forward",
     "surrogate_init",
 ]
+
+from .surrogate_train import make_surrogate_trainer, predict_drag
+
+__all__ += ["make_surrogate_trainer", "predict_drag"]

@@ -5,6 +5,7 @@ from .config import (
     FlowConfig,
     OptimizerConfig,
 )
+from .profiling import Timer, force_sync, timed, trace
 
 __all__ = [
     "AgentConfig",
@@ -12,4 +13,8 @@ __all__ = [
     "EpsilonConfig",
     "FlowConfig",
     "OptimizerConfig",
+    "Timer",
+    "force_sync",
+    "timed",
+    "trace",
 ]

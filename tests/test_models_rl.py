@@ -184,3 +184,19 @@ class TestDQN:
         buf.push(g, 1, None, 0.5)
         batch = buf.sample(1, np.random.default_rng(0))
         assert not bool(batch.non_final[0])
+
+
+class TestSurrogateTraining:
+    def test_surrogate_learns_constant(self):
+        # Sanity: the surrogate can fit a trivial target on fixed graphs.
+        from meshdqn_tpu.models import make_surrogate_trainer
+
+        init, step, loss_fn = make_surrogate_trainer(lr=1e-2, topk=0.5)
+        params, opt_state = init(jax.random.PRNGKey(0), conv_width=8)
+        gs = [make_graph(12, 12, [(0, 1), (3, 4)], seed=s, e_pad=8) for s in range(4)]
+        batch = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *gs)
+        targets = jnp.asarray([-0.113] * 4, jnp.float32)
+        l0 = float(loss_fn(params, batch, targets))
+        for _ in range(60):
+            params, opt_state, loss = step(params, opt_state, batch, targets)
+        assert float(loss) < 0.1 * l0

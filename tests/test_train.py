@@ -1,0 +1,102 @@
+import copy
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from meshdqn_tpu.models import init_params
+from meshdqn_tpu.rl import DQNConfig, init_dqn, train_step, ReplayBuffer
+from meshdqn_tpu.train import CheckpointManager, MetricsRecorder, Trainer
+from meshdqn_tpu.utils import Config
+
+from tests.test_env import ground_truth, small_config  # fixtures
+from tests.test_models_rl import make_graph
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = DQNConfig(lr=1e-3, target_update=5, topk=0.1)
+        p1 = init_params(jax.random.PRNGKey(0), 17, 8, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 8, conv_width=8, topk=0.1)
+        state = init_dqn(p1, p2, cfg)
+
+        # Take some gradient steps so optimizer state is non-trivial.
+        buf = ReplayBuffer(32, 10, 17, 16)
+        for i in range(8):
+            g = make_graph(10, 10, [(0, 1)], seed=i, e_pad=16)
+            buf.push(g, i % 8, g, 0.1 * i)
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            state, _ = train_step(state, buf.sample(4, rng), cfg)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(3, state, {"global_step": 42, "episode": 3})
+
+        template = init_dqn(p1, p2, cfg)
+        restored, extras, step = mgr.restore(template)
+        assert step == 3
+        assert extras["global_step"] == 42
+        assert int(restored.num_grads) == int(state.num_grads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params1),
+            jax.tree_util.tree_leaves(restored.params1),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # Optimizer moments restored exactly too.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.opt1),
+            jax.tree_util.tree_leaves(restored.opt1),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_none_when_empty(self, tmp_path):
+        cfg = DQNConfig()
+        p1 = init_params(jax.random.PRNGKey(0), 17, 8, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 8, conv_width=8, topk=0.1)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        assert mgr.restore(init_dqn(p1, p2, cfg)) is None
+
+
+class TestTrainerResume:
+    def test_trainer_runs_and_resumes(self, small_config, ground_truth, tmp_path):
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "ys930_results_"
+        cfg.agent.num_parallel = 1
+        cfg.optimizer.batch_size = 4
+
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        s1 = tr.train(max_steps=6)
+        assert s1["global_steps"] == 6
+
+        # Resume in a fresh Trainer: must pick up counters from the latest
+        # checkpoint (written at each episode end).
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        if tr2.state.episode > 0:  # at least one episode finished
+            assert tr2.state.global_step > 0
+            assert len(tr2.metrics.rewards) == tr2.state.episode
+        s2 = tr2.train(max_steps=tr2.state.global_step + 4)
+        assert s2["global_steps"] >= s1["global_steps"]
+
+    def test_metrics_artifacts_reference_compatible(
+        self, small_config, ground_truth, tmp_path
+    ):
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "ys930_results_"
+        cfg.agent.num_parallel = 1
+        cfg.agent.timesteps = 2  # force quick episode ends
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.train(num_episodes=2)
+        d = os.path.join(str(tmp_path), "ys930_results")
+        for name in ("reward", "rewards", "losses", "actions", "eps"):
+            path = os.path.join(d, f"ys930_results_{name}.npy")
+            assert os.path.exists(path), name
+            np.load(path, allow_pickle=True)
+        # Analysis consumes them.
+        from meshdqn_tpu.analysis import analyze_actions, plot_reward
+
+        assert plot_reward(d, "ys930_results_")["episodes"] == 2
+        analyze_actions(d, "ys930_results_")
