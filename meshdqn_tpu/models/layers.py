@@ -52,6 +52,28 @@ def std_normal(key, shape, dtype=jnp.float32):
 # SAGEConv
 # ----------------------------------------------------------------------
 
+# Message-passing backend.  'dense' lowers every gather/scatter to one-hot
+# matmuls on the MXU — for the padded 180-node observation graphs this is
+# fast AND avoids XLA gather/scatter compilation entirely (the remote TPU
+# compile service here has shown multi-minute first-gather compiles).
+# 'segment' uses gathers + jax.ops.segment_sum (the usual formulation,
+# better for very large graphs).
+AGGREGATION = "dense"
+
+
+def _onehot(ids, mask, n_nodes, dtype):
+    """(K, N) one-hot rows selecting node ids (masked rows are zero)."""
+    r = jnp.arange(n_nodes, dtype=ids.dtype)
+    return ((ids[:, None] == r[None, :]) & mask[:, None]).astype(dtype)
+
+
+def _edge_matrices(edge_index, edge_mask, n_nodes, dtype):
+    """src_oh (E, N) and dst_oh^T (N, E) for dense message passing."""
+    src_oh = _onehot(edge_index[0], edge_mask, n_nodes, dtype)
+    dst_ohT = _onehot(edge_index[1], edge_mask, n_nodes, dtype).T
+    return src_oh, dst_ohT
+
+
 def sage_init(key, in_dim, out_dim):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -64,11 +86,17 @@ def sage_init(key, in_dim, out_dim):
 def sage_conv(params, x, edge_index, edge_mask, node_mask):
     """x: (N,F); edge_index: (2,E) src->dst; masks bool."""
     N = x.shape[0]
-    src, dst = edge_index[0], edge_index[1]
-    w = edge_mask.astype(x.dtype)
-    msg = x[src] * w[:, None]  # (E,F)
-    summed = jax.ops.segment_sum(msg, dst, num_segments=N)
-    count = jax.ops.segment_sum(w, dst, num_segments=N)
+    if AGGREGATION == "dense":
+        src_oh, dst_ohT = _edge_matrices(edge_index, edge_mask, N, x.dtype)
+        # Adjacency with edge multiplicity: A[i, j] = #edges j->i.
+        adj = dst_ohT @ src_oh  # (N, N)
+        summed = adj @ x
+        count = adj.sum(axis=1)
+    else:
+        src, dst = edge_index[0], edge_index[1]
+        w = edge_mask.astype(x.dtype)
+        summed = jax.ops.segment_sum(x[src] * w[:, None], dst, num_segments=N)
+        count = jax.ops.segment_sum(w, dst, num_segments=N)
     mean = summed / jnp.maximum(count, 1.0)[:, None]
     out = mean @ params["lin_l_w"].T + params["lin_l_b"] + x @ params["lin_r_w"].T
     return out * node_mask[:, None].astype(x.dtype)
@@ -87,15 +115,21 @@ def gcn_init(key, in_dim, out_dim):
 
 def gcn_conv(params, x, edge_index, edge_mask, node_mask):
     N = x.shape[0]
-    src, dst = edge_index[0], edge_index[1]
-    w = edge_mask.astype(x.dtype)
     nm = node_mask.astype(x.dtype)
-    # Degrees including self-loops on valid nodes (PyG add_self_loops with
-    # fill_value 1).
-    deg = jax.ops.segment_sum(w, dst, num_segments=N) + nm
-    dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
-    norm = dinv[src] * dinv[dst] * w  # (E,)
-    agg = jax.ops.segment_sum(x[src] * norm[:, None], dst, num_segments=N)
+    if AGGREGATION == "dense":
+        src_oh, dst_ohT = _edge_matrices(edge_index, edge_mask, N, x.dtype)
+        adj = dst_ohT @ src_oh  # (N, N), multiplicity-weighted
+        deg = adj.sum(axis=1) + nm  # self-loops on valid nodes
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+        norm_adj = adj * dinv[:, None] * dinv[None, :]
+        agg = norm_adj @ x
+    else:
+        src, dst = edge_index[0], edge_index[1]
+        w = edge_mask.astype(x.dtype)
+        deg = jax.ops.segment_sum(w, dst, num_segments=N) + nm
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+        norm = dinv[src] * dinv[dst] * w  # (E,)
+        agg = jax.ops.segment_sum(x[src] * norm[:, None], dst, num_segments=N)
     agg = agg + x * (dinv * dinv * nm)[:, None]  # self-loop term
     out = agg @ params["w"].T + params["b"]
     return out * nm[:, None]
@@ -135,16 +169,22 @@ def topk_pool(params, x, edge_index, edge_mask, node_mask, ratio: float, k_stati
     top_scores, top_idx = jax.lax.top_k(score, k_static)  # (k_static,)
     new_mask = jnp.arange(k_static) < k_dyn
     gate = jnp.where(new_mask, jnp.tanh(top_scores), 0.0)
-    new_x = x[top_idx] * gate[:, None]
+    if AGGREGATION == "dense":
+        sel_oh = _onehot(top_idx.astype(jnp.int32), new_mask, x.shape[0], x.dtype)
+        new_x = (sel_oh @ x) * gate[:, None]
+    else:
+        new_x = x[top_idx] * gate[:, None]
 
-    # Re-index edges: old node -> new slot (or -1).
-    N = x.shape[0]
-    old_to_new = jnp.full((N,), -1, dtype=jnp.int32)
-    old_to_new = old_to_new.at[top_idx].set(
-        jnp.where(new_mask, jnp.arange(k_static, dtype=jnp.int32), -1)
-    )
-    src_new = old_to_new[edge_index[0]]
-    dst_new = old_to_new[edge_index[1]]
+    # Re-index edges: old node -> new slot (or -1).  Dense matching instead
+    # of a scatter (see AGGREGATION note above): (E, k) comparison table.
+    def remap(old_ids):
+        hit = (old_ids[:, None] == top_idx[None, :]) & new_mask[None, :]  # (E,k)
+        found = hit.any(axis=1)
+        slot = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        return jnp.where(found, slot, -1)
+
+    src_new = remap(edge_index[0])
+    dst_new = remap(edge_index[1])
     keep = (src_new >= 0) & (dst_new >= 0) & edge_mask
     new_edges = jnp.stack(
         [jnp.where(keep, src_new, 0), jnp.where(keep, dst_new, 0)]
