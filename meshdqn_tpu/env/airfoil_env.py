@@ -134,6 +134,11 @@ class AirfoilEnv:
         agent = config.agent
         self.n_closest = agent.N_closest
         self.action_space_n = agent.N_closest  # actions 0..N-1 remove; N = shift
+        # gym-style shim (`env.action_space.n`, Env2DAirfoil.py:68) without a
+        # gym dependency.
+        from types import SimpleNamespace
+
+        self.action_space = SimpleNamespace(n=agent.N_closest)
         self.threshold = agent.threshold
         self.time_reward = agent.time_reward
         self.timesteps = agent.timesteps

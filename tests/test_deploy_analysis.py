@@ -122,3 +122,31 @@ class TestDeploy:
         # Replayed exactly the best episode's actions (2 steps).
         assert res.actions[:2] == [3, 7]
         assert len(res.actions) <= 2 + 1
+
+
+@pytest.mark.slow
+class TestDeployCompleteTraj:
+    def test_complete_traj_resimulation(self, small_config, ground_truth, tmp_path):
+        import copy
+
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "ys930_results_"
+        n_feat = 2 + 3 * (cfg.agent.solver_steps // cfg.agent.save_steps)
+        params1 = init_params(
+            jax.random.PRNGKey(0), n_feat, cfg.agent.N_closest + 1,
+            conv_width=16, topk=0.1,
+        )
+        opts = DeployOptions(complete_traj=True, end_plots=False)
+        dep = Deployer(cfg, ground_truth, params1, options=opts, topk=0.1)
+        res = dep.run(max_steps=2)
+        out = tmp_path / "ys930_results" / "deployed"
+        # Re-simulated trajectory artifact: initial row + one per removal.
+        traj = np.load(out / "ys930_results_drag_trajectory.npy")
+        S = ground_truth.snapshots.num_snapshots
+        assert traj.shape[1] == 1 + 2 * S
+        assert traj.shape[0] == 1 + len(res.removed_coords)
+        # Re-simulated drags on the coarsened mesh stay close to ground truth
+        # (the whole point of the method).
+        rel = np.abs(traj[-1, 1 + S - 1] - traj[0, 1 + S - 1]) / abs(traj[0, 1 + S - 1])
+        assert rel < 0.05

@@ -1,0 +1,49 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from meshdqn_tpu.ops.pallas_kernels import ell_matvec_pallas
+from meshdqn_tpu.ops.sparse import EllMatrix
+
+
+class TestPallasEllMatvec:
+    def _random_ell(self, R, C, density, seed):
+        rng = np.random.default_rng(seed)
+        A = sp.random(R, C, density=density, random_state=seed, format="csr")
+        ell = EllMatrix.from_scipy(A, dtype=jnp.float32)
+        x = rng.standard_normal(C).astype(np.float32)
+        return A, ell, x
+
+    @pytest.mark.parametrize("R,C", [(100, 80), (512, 512), (777, 333)])
+    def test_matches_scipy(self, R, C):
+        A, ell, x = self._random_ell(R, C, 0.05, seed=R)
+        y = np.asarray(
+            ell_matvec_pallas(ell.cols, ell.vals, jnp.asarray(x),
+                              block_rows=128, interpret=True)
+        )
+        ref = A @ x
+        assert np.allclose(y, ref, atol=1e-5)
+
+    def test_matches_xla_formulation_on_fem_operator(self, ys930_path):
+        from meshdqn_tpu.fem import assemble_operators
+        from meshdqn_tpu.mesh import mark_boundaries, read_xdmf
+
+        mesh = read_xdmf(ys930_path)
+        ops = assemble_operators(mesh, mark_boundaries(mesh), 1e-3, 1.0, 1e-3)
+        ell = EllMatrix.from_scipy(ops.Kp, dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(ops.Kp.shape[1]).astype(np.float32))
+        y_pallas = np.asarray(
+            ell_matvec_pallas(ell.cols, ell.vals, x, interpret=True)
+        )
+        y_xla = np.asarray(ell @ x)
+        assert np.allclose(y_pallas, y_xla, atol=1e-5)
+
+    def test_non_divisible_block(self):
+        A, ell, x = self._random_ell(130, 64, 0.1, seed=7)
+        y = np.asarray(
+            ell_matvec_pallas(ell.cols, ell.vals, jnp.asarray(x),
+                              block_rows=64, interpret=True)
+        )
+        assert np.allclose(y, A @ x, atol=1e-5)
