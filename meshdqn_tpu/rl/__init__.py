@@ -6,6 +6,7 @@ from .dqn import (
     init_dqn,
     make_optimizer,
     select_action,
+    select_actions_batched,
     train_step,
 )
 from .replay import ReplayBuffer, TransitionBatch
@@ -18,6 +19,7 @@ __all__ = [
     "init_dqn",
     "make_optimizer",
     "select_action",
+    "select_actions_batched",
     "train_step",
     "ReplayBuffer",
     "TransitionBatch",

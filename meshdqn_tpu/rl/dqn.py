@@ -135,6 +135,16 @@ def select_action(params1: dict, g: GraphState, topk: float = 0.1):
     return jnp.argmax(forward(params1, g, topk=topk))
 
 
+@partial(jax.jit, static_argnames=("topk",))
+def select_actions_batched(params1: dict, graphs: GraphState, topk: float = 0.1):
+    """Greedy actions for a stacked batch of graphs -> (B,) int.
+
+    One device round-trip for all parallel environments (the reference pays
+    one ParameterServer RPC per env step, airfoil_dqn.py:461)."""
+    q = jax.vmap(partial(forward, params1, topk=topk))(graphs)
+    return jnp.argmax(q, axis=1)
+
+
 def epsilon(steps_done: float, start: float, end: float, decay: float) -> float:
     """eps = end + (start-end) exp(-steps/decay) (airfoil_dqn.py:455)."""
     import math

@@ -30,6 +30,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..env import AirfoilEnv, GroundTruth, compute_ground_truth
@@ -141,13 +142,49 @@ class Trainer:
         env_states = [env.reset() for env in self.envs]
         ep_rewards = [[] for _ in self.envs]
         ep_actions = [[] for _ in self.envs]
+        n_envs = len(self.envs)
 
         while self.state.episode < num_episodes:
-            for i, env in enumerate(self.envs):
-                eps_val = epsilon(
-                    self.state.global_step, eps_cfg.start, eps_cfg.end, eps_cfg.decay
+            # Phase 1: epsilon-greedy decisions for the whole sweep; all
+            # exploit actions computed in ONE batched device call (the
+            # reference pays one parameter-server RPC per env per step,
+            # airfoil_dqn.py:458-463).
+            eps_sweep = [
+                epsilon(
+                    self.state.global_step + i,
+                    eps_cfg.start,
+                    eps_cfg.end,
+                    eps_cfg.decay,
                 )
-                action = self._select(env_states[i], eps_val)
+                for i in range(n_envs)
+            ]
+            explore = [self.rng.random() <= e for e in eps_sweep]
+            actions = [None] * n_envs
+            exploit_ids = [i for i in range(n_envs) if not explore[i]]
+            if exploit_ids:
+                import jax as _jax
+
+                from ..rl import select_actions_batched
+
+                stacked = _jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[env_states[i] for i in exploit_ids]
+                )
+                chosen = np.asarray(
+                    select_actions_batched(
+                        self.dqn.params1, stacked, topk=self.dqn_cfg.topk
+                    )
+                )
+                for j, i in enumerate(exploit_ids):
+                    actions[i] = int(chosen[j])
+            for i in range(n_envs):
+                if actions[i] is None:
+                    actions[i] = int(
+                        self.rng.integers(0, self.config.agent.N_closest + 1)
+                    )
+
+            for i, env in enumerate(self.envs):
+                eps_val = eps_sweep[i]
+                action = actions[i]
                 nxt, rew, done, info = env.step(action)
                 self.replay.push(
                     env_states[i], action, None if done else nxt, rew

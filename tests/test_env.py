@@ -151,3 +151,34 @@ class TestInterpolationAccuracy:
         _, _, _, info = env.step(0)
         rel = np.abs(env.gt_drag - info.drags) / np.abs(env.gt_drag)
         assert rel.max() < 1e-3
+
+
+@pytest.fixture(scope="session")
+def ah93_ground_truth(ah93w145_path):
+    cfg = Config.from_yaml(
+        str(pathlib.Path(__file__).parent.parent / "configs" / "ah93w145.yaml")
+    )
+    cfg.flow.mesh = ah93w145_path
+    cfg.agent.solver_steps = 100
+    cfg.agent.save_steps = 20
+    CACHE.mkdir(exist_ok=True)
+    path = CACHE / "ah93_gt_100steps.npz"
+    if path.exists():
+        return cfg, GroundTruth.load(str(path))
+    gt = compute_ground_truth(cfg)
+    gt.save(str(path))
+    return cfg, gt
+
+
+class TestSecondAirfoil:
+    def test_ah93w145_env_end_to_end(self, ah93_ground_truth):
+        cfg, gt = ah93_ground_truth
+        assert gt.mesh.num_vertices == 797  # SURVEY.md L7
+        env = AirfoilEnv(cfg, ground_truth=gt)
+        s = env.reset()
+        assert s.x.shape == (180, 17)
+        _, rew, done, info = env.step(0)
+        assert np.isfinite(rew)
+        assert env.mesh.num_vertices == 796
+        rel = np.abs(env.gt_drag - info.drags) / np.abs(env.gt_drag)
+        assert np.isfinite(rel).all()
