@@ -220,3 +220,36 @@ class TestProbes:
         x, y = ring[:, 0], ring[:, 1]
         area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
         assert np.isclose(abs(l), area, rtol=1e-12)
+
+
+class TestBCEquivalence:
+    def test_symmetric_vs_row_elimination_same_solution(self, ys930_path):
+        # Symmetric elimination (SystemAssembler-style) and naive row
+        # replacement must produce the same solution; validates the
+        # b~ = Z(b - A g) + g RHS map used per step by the solver.
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        mesh = read_xdmf(ys930_path)
+        ops = assemble_operators(mesh, mark_boundaries(mesh), 1e-3, 1.0, 1e-3)
+        A = ops.A2
+        mask = ops.p_bc_mask
+        g = np.where(mask, 0.7, 0.0)  # nonzero BC values to stress the map
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(A.shape[0])
+
+        # Row elimination
+        Arow = A.tolil()
+        for i in np.flatnonzero(mask):
+            Arow.rows[i] = [i]
+            Arow.data[i] = [1.0]
+        x_row = spla.spsolve(Arow.tocsr(), np.where(mask, g, b))
+
+        # Symmetric elimination + RHS map
+        Asym = apply_bc_symmetric(A, mask)
+        z = (~mask).astype(float)
+        b_sym = z * (b - A @ g) + g
+        x_sym = spla.spsolve(Asym.tocsr(), b_sym)
+
+        assert np.allclose(x_row, x_sym, atol=1e-10)
+        assert np.allclose(x_sym[mask], g[mask], atol=1e-12)
