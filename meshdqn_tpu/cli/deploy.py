@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("--confirm", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--precision",
+        default="auto",
+        choices=["auto", "f64", "f32", "mixed"],
+        help="solver precision for re-simulation; auto = fused f32 on TPU "
+        "(seconds per removal), f64 oracle on CPU",
+    )
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
@@ -40,6 +47,10 @@ def main(argv=None):
     from ..utils import Config
 
     cfg = Config.from_yaml(args.config).apply_overrides(args.overrides)
+    if args.precision == "auto":
+        cfg.flow.precision = "f32" if jax.default_backend() == "tpu" else "f64"
+    else:
+        cfg.flow.precision = args.precision
     base = os.path.join(cfg.save_dir, cfg.prefix.rstrip("_"))
 
     gt_path = os.path.join(base, "ground_truth.npz")

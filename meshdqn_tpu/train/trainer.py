@@ -78,7 +78,9 @@ class Trainer:
                 ground_truth = GroundTruth.load(gt_path)
             else:
                 ground_truth = compute_ground_truth(config)
-                ground_truth.save(gt_path)
+        if not os.path.exists(gt_path):
+            # Persist next to the run so deploy/resume never re-simulate.
+            ground_truth.save(gt_path)
         self.gt = ground_truth
 
         self.envs = [
