@@ -18,7 +18,6 @@ than left to GSPMD inference.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

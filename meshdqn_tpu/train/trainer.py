@@ -37,7 +37,6 @@ from ..env import AirfoilEnv, GroundTruth, compute_ground_truth
 from ..models import init_params
 from ..rl import (
     DQNConfig,
-    DQNState,
     ReplayBuffer,
     epsilon,
     init_dqn,
@@ -63,7 +62,11 @@ class Trainer:
         config: Config,
         ground_truth: GroundTruth | None = None,
         resume: bool = True,
+        data_parallel: bool | None = None,
     ):
+        """data_parallel: None = auto (on when >1 device is visible).  When
+        on, the replay batch is sharded over a 'dp' device mesh and gradients
+        all-reduce with lax.pmean (parallel/dp.py); params stay replicated."""
         self.config = config
         agent, opt, eps = config.agent, config.optimizer, config.epsilon
         self.save_dir = os.path.join(config.save_dir, config.prefix.rstrip("_"))
@@ -120,6 +123,17 @@ class Trainer:
                 self.state.episode = int(extras["episode"])
                 self.metrics.load()
 
+        # Multi-chip data parallelism (parallel/dp.py).
+        if data_parallel is None:
+            data_parallel = jax.device_count() > 1
+        self.data_parallel = data_parallel and jax.device_count() > 1
+        if self.data_parallel:
+            from ..parallel import make_dp_train_step, make_mesh, replicate
+
+            self.mesh = make_mesh()
+            self._dp_step = make_dp_train_step(self.mesh, self.dqn_cfg)
+            self.dqn = replicate(self.mesh, self.dqn)
+
     # ------------------------------------------------------------------
     def _select(self, state, eps_val: float) -> int:
         if self.rng.random() > eps_val:
@@ -130,7 +144,14 @@ class Trainer:
         if len(self.replay) < self.batch_size:
             return None
         batch = self.replay.sample(self.batch_size, self.rng)
-        self.dqn, loss = train_step(self.dqn, batch, self.dqn_cfg)
+        if self.data_parallel:
+            from ..parallel import shard_batch
+
+            self.dqn, loss = self._dp_step(
+                self.dqn, shard_batch(self.mesh, batch)
+            )
+        else:
+            self.dqn, loss = train_step(self.dqn, batch, self.dqn_cfg)
         return float(loss)
 
     # ------------------------------------------------------------------
@@ -164,11 +185,9 @@ class Trainer:
             actions = [None] * n_envs
             exploit_ids = [i for i in range(n_envs) if not explore[i]]
             if exploit_ids:
-                import jax as _jax
-
                 from ..rl import select_actions_batched
 
-                stacked = _jax.tree_util.tree_map(
+                stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *[env_states[i] for i in exploit_ids]
                 )
                 chosen = np.asarray(

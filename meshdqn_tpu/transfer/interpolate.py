@@ -20,14 +20,13 @@ the mesh shrinks.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..fem.assembly import cell_jacobians
-from ..fem.spaces import P1Space, P2Space, VectorP2Space
+from ..fem.spaces import P1Space, P2Space
 from ..mesh import TriMesh
 
 

@@ -100,3 +100,19 @@ class TestTrainerResume:
 
         assert plot_reward(d, "ys930_results_")["episodes"] == 2
         analyze_actions(d, "ys930_results_")
+
+
+class TestTrainerDataParallel:
+    def test_dp_trainer_runs_on_8_devices(self, small_config, ground_truth, tmp_path):
+        # batch 8 shards 1-per-device over the virtual mesh.
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "dp_"
+        cfg.agent.num_parallel = 1
+        cfg.optimizer.batch_size = 8
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False, data_parallel=True)
+        assert tr.data_parallel
+        s = tr.train(max_steps=10)
+        assert s["global_steps"] == 10
+        assert s["grad_steps"] >= 2  # batch filled after 8 pushes
+        assert np.isfinite(s["mean_reward"]) or s["episodes"] == 0
