@@ -163,6 +163,34 @@ class AirfoilEnv:
         actually measured (the reference leaves it at -1)."""
         return self.gt_drag, self.gt_time
 
+    def set_plot_dir(self, plot_dir: str):
+        """Create the run directory and persist the snapshot artifacts
+        (Env2DAirfoil.py:432-449): velocities/pressures vertex fields plus
+        the raw dof vectors, in the reference's snapshots/ layout, and the
+        consolidated ground_truth.npz."""
+        import os
+
+        self.plot_dir = plot_dir
+        os.makedirs(plot_dir, exist_ok=True)
+        snap_dir = os.path.join(plot_dir, "snapshots")
+        os.makedirs(snap_dir, exist_ok=True)
+        np.save(os.path.join(snap_dir, "velocities.npy"), self.velocities)
+        np.save(
+            os.path.join(snap_dir, "pressures.npy"), self.pressures[:, :, None]
+        )
+        np.save(os.path.join(snap_dir, "save_velocities.npy"), self.gt.snapshots.u)
+        np.save(os.path.join(snap_dir, "save_pressures.npy"), self.gt.snapshots.p)
+        self.gt.save(os.path.join(plot_dir, "ground_truth.npz"))
+
+    def plot_state(self, title="{}", filename="initial_state"):
+        """Observation-window plot (Env2DAirfoil.py:171-217)."""
+        from ..deploy.viz import plot_state as _plot_state
+
+        _plot_state(
+            self, title=title, filename=filename,
+            plot_dir=getattr(self, "plot_dir", "."),
+        )
+
     # ------------------------------------------------------------------
     def reset(self) -> GraphState:
         self.mesh = self.gt.mesh
