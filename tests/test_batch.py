@@ -66,3 +66,40 @@ class TestBatchedFlows:
         d = np.asarray(d)
         assert d.shape == (8, 10)
         assert np.isfinite(d).all()
+
+
+class TestEnsembleFlows:
+    def test_amplitude_one_matches_single_solve(self):
+        from meshdqn_tpu.solver.ensemble import EnsembleFlows
+
+        mesh = channel_mesh(16, 6)
+        ens = EnsembleFlows(mesh, [1.0, 0.5], IPCSConfig(precision="f32", fused=True))
+        st, d, l = ens.evolve(ens.initial_state(), 100)
+
+        solo = IPCSSolver(mesh, IPCSConfig(precision="f32", fused=True))
+        sts, ds, ls = solo.evolve(solo.initial_state(), 100)
+        # (channel mesh: no airfoil facets, so drag/lift are trivially zero —
+        # compare the full state instead)
+        np.testing.assert_allclose(
+            np.asarray(st.u[:, 0]), np.asarray(sts.u), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.p[:, 0]), np.asarray(sts.p), atol=1e-3
+        )
+        # Half-amplitude member: a real, different, weaker flow.
+        u0 = np.linalg.norm(np.asarray(st.u[:, 0]))
+        u1 = np.linalg.norm(np.asarray(st.u[:, 1]))
+        assert np.isfinite(u1) and 0.1 * u0 < u1 < 0.9 * u0
+
+    def test_inlet_velocity_scales(self):
+        from meshdqn_tpu.solver.ensemble import EnsembleFlows
+
+        mesh = channel_mesh(16, 6)
+        ens = EnsembleFlows(mesh, [1.0, 2.0], IPCSConfig(precision="f32", fused=True))
+        st, _, _ = ens.evolve(ens.initial_state(), 5)
+        u = np.asarray(st.u)
+        ops = ens.solver.operators
+        bc = ops.u_bc_mask
+        # Dirichlet dofs hold amplitude-scaled profile values.
+        np.testing.assert_allclose(u[bc, 0], ops.u_bc_values[bc], atol=1e-6)
+        np.testing.assert_allclose(u[bc, 1], 2 * ops.u_bc_values[bc], atol=1e-5)
