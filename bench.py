@@ -48,7 +48,11 @@ def main():
 
     t0 = time.time()
     mesh = smooth(read_xdmf(MESH), 50)
-    solver = IPCSSolver(mesh, IPCSConfig(precision=precision))
+    # compose_on_host: exact f64 operator composition cast to f32 — pays
+    # ~30 s extra setup for drag rel err 1.2e-5 / lift 4.2e-4 vs reference.
+    solver = IPCSSolver(
+        mesh, IPCSConfig(precision=precision, compose_on_host=(precision == "f32"))
+    )
     setup_s = time.time() - t0
     log(f"setup (assembly + host inverses): {setup_s:.1f}s")
 

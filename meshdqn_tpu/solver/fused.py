@@ -69,6 +69,76 @@ def _densify(rows, cols, vals, shape):
     return jnp.zeros(shape, jnp.float32).at[rows, cols].add(vals)
 
 
+def build_fused_host_f64(
+    *,
+    A1bc,
+    A2bc,
+    A3bc_s,
+    R1,
+    P1m,
+    Kp,
+    BT,
+    Ms,
+    G,
+    z_u,
+    z_p,
+    t1,
+    t2,
+    t3,
+    dt,
+    rho,
+    conv,
+    drag_u,
+    drag_p,
+    lift_u,
+    lift_p,
+) -> FusedOperators:
+    """Compose the fused operators in f64 on the host, then cast to f32.
+
+    Removes the f32 inversion/composition error from the operator ENTRIES
+    (each becomes the correctly-rounded f32 of the exact operator); the
+    remaining fast-path error is pure f32 trajectory arithmetic.  Costs
+    ~45 s of single-core LAPACK vs seconds on-device — worth it when the
+    operators are reused for thousands of steps (IPCSConfig
+    compose_on_host=True)."""
+    import scipy.linalg
+
+    Ns = A3bc_s.shape[0]
+    A1i = scipy.linalg.inv(A1bc.toarray())
+    A2i = scipy.linalg.inv(A2bc.toarray())
+    A3si = scipy.linalg.inv(A3bc_s.toarray())
+    A1Z = A1i * z_u[None, :]
+    A2Z = A2i * z_p[None, :]
+    A3Zs = A3si * z_u[None, :Ns]
+    F1u = A1Z @ R1.toarray()
+    F1p = A1Z @ P1m.toarray()
+    F2p = A2Z @ Kp.toarray()
+    F2u = -(1.0 / dt) * (A2Z @ BT.toarray())
+    F3s = A3Zs @ Ms.toarray()
+    Gd = G.toarray()
+    F3px = -dt * (A3Zs @ Gd[:Ns])
+    F3py = -dt * (A3Zs @ Gd[Ns:])
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+    return FusedOperators(
+        F1u=f32(F1u),
+        F1p=f32(F1p),
+        A1Z=f32(A1Z),
+        k1=f32(A1i @ t1),
+        F2p=f32(F2p),
+        F2u=f32(F2u),
+        k2=f32(A2i @ t2),
+        F3s=f32(F3s),
+        F3p=f32(np.stack([F3px, F3py])),
+        k3=f32(np.concatenate([A3si @ t3[:Ns], A3si @ t3[Ns:]])),
+        conv=conv,
+        drag_u=f32(drag_u),
+        drag_p=f32(drag_p),
+        lift_u=f32(lift_u),
+        lift_p=f32(lift_p),
+        rho=jnp.asarray(rho, jnp.float32),
+    )
+
+
 def build_fused(
     *,
     A1bc: sp.spmatrix,

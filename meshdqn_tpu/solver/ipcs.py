@@ -22,10 +22,13 @@ Precision modes:
             CPU oracle — f64 is software-emulated and slow on v5e TPUs).
   'f32'   — the TPU fast path; by default uses the FUSED dense-operator
             step (solver/fused.py): 1.0 ms/step on v5e — a full 5000-step
-            ys930 solve in ~5 s vs the reference's 109 s (21.9x), drag
-            within 6e-5 / lift within 6e-4 of the reference.  Requires
-            'highest' matmul precision (set in meshdqn_tpu/__init__) —
-            default bf16 MXU passes cost ~4x accuracy.
+            ys930 solve in ~5 s vs the reference's 109 s (21.9x).  With
+            compose_on_host=True (exact f64 operator composition, cast to
+            f32) both airfoils match the reference inside 1e-3 on drag AND
+            lift (ys930: 1.2e-5 / 4.2e-4; ah93w145: 2.4e-5 / 5.7e-4).
+            Requires 'highest' matmul precision (set in
+            meshdqn_tpu/__init__) — default bf16 MXU passes cost 4x
+            accuracy.
   'mixed' — hybrid: velocity path f32, pressure path f64 with iterative
             refinement.  Measured accuracy tracks 'f32' (the error is f32
             phase drift in the velocity path) at ~3x the step cost; kept as
@@ -165,6 +168,10 @@ class IPCSConfig:
     # constant dense operators — no gathers in the linear path.  None =
     # auto: on for the f32 path.
     fused: bool | None = None
+    # Compose the fused operators in f64 on host (exact, then cast to f32)
+    # instead of f32 on device: ~45 s extra single-core setup, maximally
+    # accurate f32 operator entries.
+    compose_on_host: bool = False
 
 
 class IPCSSolver:
@@ -219,11 +226,12 @@ class IPCSSolver:
         if self.fused:
             if cfg.precision != "f32":
                 raise ValueError("fused=True requires precision='f32'")
-            from .fused import build_fused
+            from .fused import build_fused, build_fused_host_f64
 
             self.work_dtype = jnp.float32
             self.pressure_dtype = jnp.float32
-            self.dev = build_fused(
+            builder = build_fused_host_f64 if cfg.compose_on_host else build_fused
+            self.dev = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,
                 A3bc_s=A3bc_s,
