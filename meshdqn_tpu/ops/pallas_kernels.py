@@ -37,7 +37,16 @@ except Exception:  # pragma: no cover
 
 
 def _ell_kernel(x_ref, cols_ref, vals_ref, out_ref):
-    """One row-block: y = sum_k vals * x[cols]."""
+    """One row-block: y = sum_k vals * x[cols].
+
+    Mosaic supports 2-D gathers only, so the VMEM-resident vector is
+    broadcast across the row block and indexed with take_along_axis."""
+    # NOTE: on-hardware Mosaic lowering of this gather is blocked in the
+    # current jax version (its gather rule only supports full-width
+    # take_along_axis shapes, and jnp indexing canonicalizes indices to i64
+    # under x64).  The kernel is validated in interpreter mode and kept as
+    # the reference implementation; ops/sparse.py's XLA formulation is the
+    # production path (see ROADMAP).
     x = x_ref[:]  # (n,) full vector in VMEM
     cols = cols_ref[:]  # (bR, K)
     vals = vals_ref[:]  # (bR, K)
