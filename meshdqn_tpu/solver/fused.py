@@ -1,5 +1,9 @@
 """Fused-operator IPCS step: the whole linear update as dense MXU matmuls.
 
+This is the TPU answer to the reference's per-step MUMPS back-solves + RHS
+re-assembly (flow_solver.py:362-396): everything linear in the IPCS step is
+constant, so it composes into fixed dense operators applied as matmuls.
+
 The unfused step (ipcs.py) does per-step sparse ELL matvecs for every linear
 RHS piece plus dense inverse applications.  Gathers are the TPU's weakest
 memory op; but every linear piece is CONSTANT, so the solve/assemble/BC
