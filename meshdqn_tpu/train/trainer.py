@@ -123,10 +123,14 @@ class Trainer:
                 self.state.episode = int(extras["episode"])
                 self.metrics.load()
 
-        # Multi-chip data parallelism (parallel/dp.py).
+        # Multi-chip data parallelism (parallel/dp.py); requires the batch
+        # to divide evenly over the devices.
+        divisible = self.batch_size % jax.device_count() == 0
         if data_parallel is None:
-            data_parallel = jax.device_count() > 1
-        self.data_parallel = data_parallel and jax.device_count() > 1
+            data_parallel = jax.device_count() > 1 and divisible
+        self.data_parallel = (
+            data_parallel and jax.device_count() > 1 and divisible
+        )
         if self.data_parallel:
             from ..parallel import make_dp_train_step, make_mesh, replicate
 
