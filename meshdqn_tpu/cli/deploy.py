@@ -69,9 +69,11 @@ def main(argv=None):
     dqn = init_dqn(p1, p2, DQNConfig())
     ckpt = CheckpointManager(os.path.join(base, "ckpt"))
     restored = ckpt.restore(dqn)
+    ckpt_step = None
     if restored is not None:
         dqn = restored[0]
-        print(f"loaded checkpoint step {restored[2]}")
+        ckpt_step = restored[2]
+        print(f"loaded checkpoint step {ckpt_step}")
     else:
         print("WARNING: no checkpoint found; deploying an untrained net")
 
@@ -82,7 +84,22 @@ def main(argv=None):
         use_best=args.use_best,
         confirm=args.confirm,
     )
-    Deployer(cfg, gt, dqn.params1, options=opts).run(max_steps=args.max_steps)
+    deployer = Deployer(cfg, gt, dqn.params1, options=opts)
+    # Provenance: record which checkpoint produced this deployment (the
+    # reference copies the .pt files into deployed/, deploy_dqn.py:126-190).
+    import json
+
+    with open(os.path.join(deployer.out_dir, "checkpoint_used.json"), "w") as f:
+        json.dump(
+            {
+                "checkpoint_step": ckpt_step,
+                "checkpoint_dir": os.path.join(base, "ckpt"),
+                "precision": cfg.flow.precision,
+                "use_best": args.use_best,
+            },
+            f,
+        )
+    deployer.run(max_steps=args.max_steps)
 
 
 if __name__ == "__main__":
