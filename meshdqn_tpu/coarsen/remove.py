@@ -18,10 +18,12 @@ discards it (SURVEY.md §2a) — not replicated.
 
 Host-side by design: re-triangulation is irregular integer work the TPU has
 no business doing; everything downstream of it (interpolation, probes,
-rewards) is device code.  A quality gate (`min_quality`) catches the
-degenerate slivers Delaunay can produce along the airfoil; the reference
-instead discovers these later as solver/interpolation failures and also
-rolls back, with the same episode-level outcome (negative reward).
+rewards) is device code.  Validity gating is the minimal set matching the
+reference's failure surface: triangulation success, no zero-area cells
+(`min_area`), and no orphan vertices — thin-but-valid slivers are allowed
+through exactly as Qhull produces them for the reference, whose episodes
+then end through the NaN/threshold traps if such a cell corrupts the
+probes (Env2DAirfoil.py:372-397).
 """
 from __future__ import annotations
 

@@ -212,9 +212,12 @@ class Deployer:
             if opts.complete_traj:
                 self._save_traj(traj_vertices, traj_drags, traj_lifts)
 
+            # The reference updates best_mesh unconditionally BEFORE the done
+            # check (deploy_dqn.py:420-424 assigns in both branches), so the
+            # deliverable includes the terminal step's removal.
+            best_mesh = env.mesh
             if done:
                 break
-            best_mesh = env.mesh  # last mesh BEFORE termination
 
         if opts.end_plots and removed_coords:
             vertex_plot(

@@ -73,6 +73,14 @@ def build_graph_state(
     )
 
     ne = min(len(pairs), edge_budget)
+    if len(pairs) > edge_budget:
+        import warnings
+
+        warnings.warn(
+            f"observation graph truncated: {len(pairs)} edges > edge_budget "
+            f"{edge_budget}; raise agent.edge_budget (needs ~6x N_closest)",
+            stacklevel=2,
+        )
     edge_index = np.zeros((2, edge_budget), dtype=np.int32)
     edge_attr = np.zeros(edge_budget, dtype=np.float32)
     if ne:

@@ -61,9 +61,17 @@ class DQNState(NamedTuple):
 def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
     # torch Adam(weight_decay=wd) == L2 term folded into the gradient BEFORE
     # the Adam moments — optax.add_decayed_weights placed before adam.
+    #
+    # The milestones are specified in GLOBAL gradient applications
+    # (airfoil_dqn.py:172-176), but each net carries its own optimizer whose
+    # internal count only advances while that net is online; the strict
+    # role alternation every target_update splits global steps evenly, so
+    # per-net boundaries sit at half the global milestones.
     schedule = optax.piecewise_constant_schedule(
         init_value=cfg.lr,
-        boundaries_and_scales={int(m): cfg.milestone_gamma for m in cfg.milestones},
+        boundaries_and_scales={
+            int(m) // 2: cfg.milestone_gamma for m in cfg.milestones
+        },
     )
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),

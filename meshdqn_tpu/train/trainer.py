@@ -40,7 +40,6 @@ from ..rl import (
     ReplayBuffer,
     epsilon,
     init_dqn,
-    select_action,
     train_step,
 )
 from ..utils import Config
@@ -75,15 +74,37 @@ class Trainer:
 
         # Ground truth: compute once, persist next to the run artifacts
         # (replaces the snapshots/*.npy scheme of Env2DAirfoil.py:432-449).
+        # A fingerprint sidecar guards against silently training on a stale
+        # cache after the flow/snapshot config changes under the same prefix.
+        import json
+
         gt_path = os.path.join(self.save_dir, "ground_truth.npz")
-        if ground_truth is None:
-            if os.path.exists(gt_path):
+        meta_path = os.path.join(self.save_dir, "ground_truth_meta.json")
+        fingerprint = {
+            "mesh": config.flow.mesh,
+            "mu": config.flow.mu,
+            "rho": config.flow.rho,
+            "dt": config.flow.dt,
+            "smooth": config.flow.smooth,
+            "solver_steps": agent.solver_steps,
+            "save_steps": agent.save_steps,
+        }
+        if ground_truth is None and os.path.exists(gt_path):
+            cached_meta = None
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    cached_meta = json.load(f)
+            if cached_meta == fingerprint:
                 ground_truth = GroundTruth.load(gt_path)
             else:
-                ground_truth = compute_ground_truth(config)
+                print("ground_truth.npz fingerprint mismatch; recomputing")
+        if ground_truth is None:
+            ground_truth = compute_ground_truth(config)
         if not os.path.exists(gt_path):
             # Persist next to the run so deploy/resume never re-simulate.
             ground_truth.save(gt_path)
+        with open(meta_path, "w") as f:
+            json.dump(fingerprint, f)
         self.gt = ground_truth
 
         self.envs = [
@@ -139,11 +160,6 @@ class Trainer:
             self.dqn = replicate(self.mesh, self.dqn)
 
     # ------------------------------------------------------------------
-    def _select(self, state, eps_val: float) -> int:
-        if self.rng.random() > eps_val:
-            return int(select_action(self.dqn.params1, state, topk=self.dqn_cfg.topk))
-        return int(self.rng.integers(0, self.config.agent.N_closest + 1))
-
     def _optimize(self) -> float | None:
         if len(self.replay) < self.batch_size:
             return None
@@ -186,26 +202,28 @@ class Trainer:
                 for i in range(n_envs)
             ]
             explore = [self.rng.random() <= e for e in eps_sweep]
-            actions = [None] * n_envs
-            exploit_ids = [i for i in range(n_envs) if not explore[i]]
-            if exploit_ids:
+            actions = [
+                int(self.rng.integers(0, self.config.agent.N_closest + 1))
+                if explore[i]
+                else None
+                for i in range(n_envs)
+            ]
+            if not all(explore):
                 from ..rl import select_actions_batched
 
+                # Always evaluate the FULL env batch (one static shape, one
+                # compilation) and pick out the exploiting envs' actions.
                 stacked = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[env_states[i] for i in exploit_ids]
+                    lambda *xs: jnp.stack(xs), *env_states
                 )
                 chosen = np.asarray(
                     select_actions_batched(
                         self.dqn.params1, stacked, topk=self.dqn_cfg.topk
                     )
                 )
-                for j, i in enumerate(exploit_ids):
-                    actions[i] = int(chosen[j])
-            for i in range(n_envs):
-                if actions[i] is None:
-                    actions[i] = int(
-                        self.rng.integers(0, self.config.agent.N_closest + 1)
-                    )
+                for i in range(n_envs):
+                    if actions[i] is None:
+                        actions[i] = int(chosen[i])
 
             for i, env in enumerate(self.envs):
                 eps_val = eps_sweep[i]
