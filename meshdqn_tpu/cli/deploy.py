@@ -40,9 +40,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from ..deploy import Deployer, DeployOptions
-    from ..env import GroundTruth, compute_ground_truth
     from ..rl import DQNConfig, init_dqn
     from ..train import CheckpointManager
+    from ..train.gtcache import load_or_compute_ground_truth
     from ..models import init_params
     from ..utils import Config
 
@@ -53,13 +53,10 @@ def main(argv=None):
         cfg.flow.precision = args.precision
     base = os.path.join(cfg.save_dir, cfg.prefix.rstrip("_"))
 
-    gt_path = os.path.join(base, "ground_truth.npz")
-    if os.path.exists(gt_path):
-        gt = GroundTruth.load(gt_path)
-    else:
-        gt = compute_ground_truth(cfg)
-        os.makedirs(base, exist_ok=True)
-        gt.save(gt_path)
+    # Validate/refresh the cached ground truth exactly as the trainer does
+    # (fingerprint sidecar records the precision used), so deploy can never
+    # bless a GT computed under a different flow config into the run dir.
+    gt = load_or_compute_ground_truth(cfg, base)
 
     # Load the trained net from the run's checkpoints.
     n_actions = cfg.agent.N_closest + 1

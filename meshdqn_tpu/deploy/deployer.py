@@ -194,8 +194,19 @@ class Deployer:
                     )
 
             state, reward, done, info = env.step(action)
-            est_drags.append(env.new_drags.copy())
-            est_lifts.append(env.new_lifts.copy())
+            # env.new_drags/new_lifts are only refreshed when the step's
+            # probe re-integration ran (removed == 0 and not out-of-vertices);
+            # on failed removals record NaN rows so the interpolated
+            # trajectory artifact distinguishes failed steps from estimates.
+            reward_skipped = (
+                info.removed != 0 or info.terminal_reason == "out_of_vertices"
+            )
+            if reward_skipped:
+                est_drags.append(np.full_like(np.asarray(est_drags[-1]), np.nan))
+                est_lifts.append(np.full_like(np.asarray(est_lifts[-1]), np.nan))
+            else:
+                est_drags.append(env.new_drags.copy())
+                est_lifts.append(env.new_lifts.copy())
             est_vertices.append(env.mesh.num_vertices)
             actions_taken.append(action if removing else None)
 

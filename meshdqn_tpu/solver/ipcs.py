@@ -226,11 +226,15 @@ class IPCSSolver:
         if self.fused:
             if cfg.precision != "f32":
                 raise ValueError("fused=True requires precision='f32'")
-            from .fused import build_fused, build_fused_host_f64
+            from .fused import build_fused_host_f64, build_fused_refined
 
             self.work_dtype = jnp.float32
             self.pressure_dtype = jnp.float32
-            builder = build_fused_host_f64 if cfg.compose_on_host else build_fused
+            # Default: on-device composition with f64-residual iterative
+            # refinement — host-f64 accuracy, device-seconds setup.
+            builder = (
+                build_fused_host_f64 if cfg.compose_on_host else build_fused_refined
+            )
             self.dev = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,

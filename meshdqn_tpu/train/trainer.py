@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..env import AirfoilEnv, GroundTruth, compute_ground_truth
+from ..env import AirfoilEnv, GroundTruth
 from ..models import init_params
 from ..rl import (
     DQNConfig,
@@ -76,36 +76,11 @@ class Trainer:
         # (replaces the snapshots/*.npy scheme of Env2DAirfoil.py:432-449).
         # A fingerprint sidecar guards against silently training on a stale
         # cache after the flow/snapshot config changes under the same prefix.
-        import json
+        from .gtcache import load_or_compute_ground_truth
 
-        gt_path = os.path.join(self.save_dir, "ground_truth.npz")
-        meta_path = os.path.join(self.save_dir, "ground_truth_meta.json")
-        fingerprint = {
-            "mesh": config.flow.mesh,
-            "mu": config.flow.mu,
-            "rho": config.flow.rho,
-            "dt": config.flow.dt,
-            "smooth": config.flow.smooth,
-            "solver_steps": agent.solver_steps,
-            "save_steps": agent.save_steps,
-        }
-        if ground_truth is None and os.path.exists(gt_path):
-            cached_meta = None
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    cached_meta = json.load(f)
-            if cached_meta == fingerprint:
-                ground_truth = GroundTruth.load(gt_path)
-            else:
-                print("ground_truth.npz fingerprint mismatch; recomputing")
-        if ground_truth is None:
-            ground_truth = compute_ground_truth(config)
-        if not os.path.exists(gt_path):
-            # Persist next to the run so deploy/resume never re-simulate.
-            ground_truth.save(gt_path)
-        with open(meta_path, "w") as f:
-            json.dump(fingerprint, f)
-        self.gt = ground_truth
+        self.gt = load_or_compute_ground_truth(
+            config, self.save_dir, ground_truth
+        )
 
         self.envs = [
             AirfoilEnv(config, ground_truth=self.gt)
