@@ -39,4 +39,19 @@ jax.config.update("jax_enable_x64", True)
 # 6e-4 -> 1.5e-4, lift 2.3e-3 -> 1.4e-5 at 'highest', same wall-clock).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the attached TPU compiles through a remote
+# service where each module costs 10-40 s; cache executables on disk so
+# setup-phase compiles are paid once per (shape, program), not per process.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "MESHDQN_JAX_CACHE", _os.path.expanduser("~/.cache/meshdqn_jax")
+)
+try:  # best-effort: never fail import over a cache misconfiguration
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover
+    pass
+
 __version__ = "0.1.0"

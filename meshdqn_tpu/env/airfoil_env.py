@@ -148,7 +148,11 @@ class AirfoilEnv:
 
         # Fixed across the whole job:
         self.initial_num_nodes = ground_truth.mesh.num_vertices
-        self.transfer = SnapshotTransfer(ground_truth.mesh, ground_truth.snapshots)
+        self.transfer = SnapshotTransfer(
+            ground_truth.mesh,
+            ground_truth.snapshots,
+            window_budget=agent.N_closest,
+        )
         # Airfoil ring from the ORIGINAL mesh — the reference builds its
         # polygon once and reuses it (Env2DAirfoil.py:223-233).
         self.ring = airfoil_polyline(ground_truth.mesh)
@@ -194,8 +198,28 @@ class AirfoilEnv:
     # ------------------------------------------------------------------
     def reset(self) -> GraphState:
         self.mesh = self.gt.mesh
-        self.snaps = self.gt.snapshots
+        # At reset the snapshots ARE the (host) ground-truth arrays; after a
+        # removal they live on device, padded (self._dev_snaps), and are
+        # materialized lazily only for plotting/artifact paths.
+        self._dev_snaps = None
+        self._snaps_np = self.gt.snapshots
+        self._vfields = None
+        self._cached_state_inputs = None
         self._refresh_mesh_products()
+        # Initial probe values: cheap host dots on the numpy GT snapshots
+        # (identical to the ground-truth integration on the same mesh).
+        self.new_drags = np.array(
+            [
+                self._drag_probe.sample(u, p)
+                for u, p in zip(self._snaps_np.u, self._snaps_np.p)
+            ]
+        )
+        self.new_lifts = np.array(
+            [
+                self._lift_probe.sample(u, p)
+                for u, p in zip(self._snaps_np.u, self._snaps_np.p)
+            ]
+        )
         self.steps = 0
         self.do_nothing_offset = 0
         self.terminal = False
@@ -204,35 +228,68 @@ class AirfoilEnv:
         return self.get_state()
 
     def _refresh_mesh_products(self):
-        """Per-mesh derived data: markers, probes, features, removable set."""
+        """Per-mesh derived data: markers, probes, removable set."""
         self.markers = mark_boundaries(self.mesh)
         mu = self.config.flow.mu
         self._drag_probe = drag_probe(self.mesh, self.markers, mu)
         self._lift_probe = lift_probe(self.mesh, self.markers, mu)
         self.removable = np.flatnonzero(~self.mesh.boundary_vertex_mask)
-        self.velocities, self.pressures = self.transfer.vertex_fields(
-            self.mesh, self.snaps
-        )
+
+    # --- lazy snapshot views (plotting / artifact paths only) ----------
+    @property
+    def snaps(self) -> SnapshotSet:
+        if self._snaps_np is None:
+            self._snaps_np = self.transfer.materialize(self._dev_snaps)
+        return self._snaps_np
+
+    def _vertex_fields(self):
+        if self._vfields is None:
+            self._vfields = self.transfer.vertex_fields(self.mesh, self.snaps)
+        return self._vfields
+
+    @property
+    def velocities(self):
+        return self._vertex_fields()[0]
+
+    @property
+    def pressures(self):
+        return self._vertex_fields()[1]
 
     # ------------------------------------------------------------------
-    def _window(self) -> np.ndarray:
+    def _window_for(self, mesh: TriMesh, removable: np.ndarray):
         """The N_closest removable vertices nearest the airfoil, shifted by
         the do-nothing offset (Env2DAirfoil.py:293-315)."""
-        d = polyline_distance(self.mesh.coords[self.removable], self.ring)
+        d = polyline_distance(mesh.coords[removable], self.ring)
         order = np.argsort(d, kind="stable")
         sel = order[self.do_nothing_offset : self.n_closest + self.do_nothing_offset]
-        if len(sel) < self.n_closest:
+        return removable[sel], len(sel) < self.n_closest
+
+    def _window(self) -> np.ndarray:
+        window, oov = self._window_for(self.mesh, self.removable)
+        if oov:
             self.out_of_vertices = True
-        return self.removable[sel]
+        return window
 
     def get_state(self) -> GraphState:
-        self._current_window = self._window()
+        if self._cached_state_inputs is not None:
+            # A successful removal already computed the new window and its
+            # features inside the fused device pass.
+            window, vel_w, p_w = self._cached_state_inputs
+            self._cached_state_inputs = None
+        else:
+            window = self._window()
+            if self._dev_snaps is not None:
+                vel_w, p_w = self.transfer.gather_window(self._dev_snaps, window)
+            else:
+                vel, pres = self._vertex_fields()
+                vel_w, p_w = vel[:, window, :], pres[:, window]
+        self._current_window = window
         return build_graph_state(
             self.mesh.coords,
             self.mesh.cells,
-            self._current_window,
-            self.velocities,
-            self.pressures,
+            window,
+            vel_w,
+            p_w,
             self.n_closest,
             self.edge_budget,
         )
@@ -302,38 +359,55 @@ class AirfoilEnv:
         if self.config.flow.smooth:
             new_mesh = smooth(new_mesh, 50)
 
-        # Interpolate snapshots from the ORIGINAL mesh (Env2DAirfoil.py:556-568).
+        # Host-side per-mesh products, then ONE fused device pass:
+        # interpolation of the ORIGINAL snapshots (Env2DAirfoil.py:556-568),
+        # probe integration, window features, finiteness — a single small
+        # readback instead of shipping the full snapshot set back per step.
+        mu = self.config.flow.mu
+        markers = mark_boundaries(new_mesh)
+        dprobe = drag_probe(new_mesh, markers, mu)
+        lprobe = lift_probe(new_mesh, markers, mu)
+        removable = np.flatnonzero(~new_mesh.boundary_vertex_mask)
+        new_window, oov = self._window_for(new_mesh, removable)
         try:
-            new_snaps = self.transfer.to_mesh(new_mesh)
+            dev_snaps, finite, drags, lifts, vel_w, p_w = (
+                self.transfer.step_products(new_mesh, new_window, dprobe, lprobe)
+            )
         except Exception:
             return 2  # "INTERPOLATION BROKE" path -> rollback
-
-        if not (
-            np.isfinite(new_snaps.u).all() and np.isfinite(new_snaps.p).all()
-        ):
+        if not finite:
             return 2
 
+        # Commit.
         self.removed_coordinates.append(res.removed_coordinate)
         self.mesh = new_mesh
-        self.snaps = new_snaps
-        self._refresh_mesh_products()
+        self.markers = markers
+        self._drag_probe, self._lift_probe = dprobe, lprobe
+        self.removable = removable
+        self._dev_snaps = dev_snaps
+        self._snaps_np = None
+        self._vfields = None
+        self.new_drags, self.new_lifts = drags, lifts
+        self._cached_state_inputs = (new_window, vel_w, p_w)
+        if oov:
+            self.out_of_vertices = True
         return 0
 
     # ------------------------------------------------------------------
     def calculate_reward(self, info: StepInfo | None = None):
-        """(reward, broken, terminal) — Env2DAirfoil.py:380-428."""
-        try:
-            drags = np.array(
-                [self._drag_probe.sample(u, p) for u, p in zip(self.snaps.u, self.snaps.p)]
-            )
-            lifts = np.array(
-                [self._lift_probe.sample(u, p) for u, p in zip(self.snaps.u, self.snaps.p)]
-            )
-        except Exception:
-            return NEGATIVE_REWARD, True, True  # "SAMPLING BROKE"
+        """(reward, broken, terminal) — Env2DAirfoil.py:380-428.
 
-        self.new_drags = drags
-        self.new_lifts = lifts
+        The probe integrals are refreshed by the step that changed the mesh
+        (reset: host dots; removal: inside the fused device pass) — a
+        window-shift step reuses them unchanged, exactly as re-integrating
+        the identical functional on the identical snapshots would.
+        Non-finite probe values reproduce the reference's "SAMPLING BROKE"
+        terminal (Env2DAirfoil.py:395-397).
+        """
+        drags = np.asarray(self.new_drags, dtype=np.float64)
+        lifts = np.asarray(self.new_lifts, dtype=np.float64)
+        if not (np.isfinite(drags).all() and np.isfinite(lifts).all()):
+            return NEGATIVE_REWARD, True, True  # "SAMPLING BROKE"
         if info is not None:
             info.drags = drags
             info.lifts = lifts

@@ -37,12 +37,12 @@ def build_graph_state(
     coords: np.ndarray,  # (V, 2) current mesh coords
     cells: np.ndarray,  # (C, 3)
     window: np.ndarray,  # (k,) vertex ids in the observation window (k <= N)
-    velocities: np.ndarray,  # (S, V, 2)
-    pressures: np.ndarray,  # (S, V)
+    vel_w: np.ndarray,  # (S, k, 2) velocities AT the window vertices
+    p_w: np.ndarray,  # (S, k) pressures AT the window vertices
     n_nodes: int,
     edge_budget: int,
 ) -> GraphState:
-    S = velocities.shape[0]
+    S = vel_w.shape[0]
     feat = 2 + 3 * S
     k = len(window)
 
@@ -50,9 +50,8 @@ def build_graph_state(
     if k:
         x[:k, 0:2] = coords[window]
         # (S, k, 2) -> (k, 2S) with per-node [u_x^0, u_y^0, u_x^1, ...]
-        v = velocities[:, window, :]  # (S,k,2)
-        x[:k, 2 : 2 + 2 * S] = np.transpose(v, (1, 0, 2)).reshape(k, 2 * S)
-        x[:k, 2 + 2 * S :] = pressures[:, window].T
+        x[:k, 2 : 2 + 2 * S] = np.transpose(vel_w, (1, 0, 2)).reshape(k, 2 * S)
+        x[:k, 2 + 2 * S :] = np.asarray(p_w).T
 
     # window membership lookup
     inv = np.full(len(coords), -1, dtype=np.int64)

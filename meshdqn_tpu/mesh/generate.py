@@ -1,0 +1,209 @@
+"""Resolution-parameterized channel+airfoil mesh generation.
+
+The reference ships only two stock meshes plus 54-row resolution-sweep CSVs
+(training_results/benchmark_results/*.csv, resolutions 0.05-0.3) produced by
+an external mesh generator that is not in the repo.  This module regenerates
+that family from geometry alone, so the de-facto regression table
+(analyze_benchmark.py:25-33) can be reproduced from scratch:
+
+* the airfoil geometry is a periodic cubic spline through the stock mesh's
+  boundary ring (the best available description of the true section);
+* sizing mirrors the stock meshes: h = resolution/AIRFOIL_REFINE on the
+  airfoil surface, grading linearly with distance up to h = resolution in
+  the far field (measured on ys930_0.15: ring spacing 0.019 ~ res/8,
+  far-field edges ~ res);
+* interior points come from Delaunay refinement (insert the circumcenter of
+  any triangle whose circumradius exceeds the local size target — a
+  Ruppert-style loop with boundary protection), followed by a few Laplacian
+  smoothing sweeps for quality;
+* the airfoil hole is carved by centroid point-in-polygon, and the ring
+  vertices are stored contiguously in ring order so `airfoil_polyline`
+  (marking.py:99) reconstructs a valid closed ring, as it does on the stock
+  meshes.
+
+Everything here is one-time host geometry work (NumPy/SciPy); the device
+never sees it.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay, cKDTree
+
+from .marking import X_MAX, X_MIN, Y_MAX, Y_MIN
+from .trimesh import TriMesh
+
+AIRFOIL_REFINE = 8.0  # h_airfoil = resolution / AIRFOIL_REFINE
+GRADING = 0.35  # h grows by GRADING per unit distance from the airfoil
+
+
+def spline_ring(ring: np.ndarray, spacing: float) -> np.ndarray:
+    """Resample a closed polyline through a periodic cubic spline at
+    ~uniform arc-length `spacing`.  Returns (K, 2) ordered ring points."""
+    from scipy.interpolate import splev, splprep
+
+    pts = np.asarray(ring, dtype=np.float64)
+    # splprep needs strictly increasing parameter; drop duplicate points.
+    d = np.linalg.norm(np.diff(np.vstack([pts, pts[:1]]), axis=0), axis=1)
+    keep = d > 1e-12
+    pts = pts[keep]
+    per = np.linalg.norm(np.diff(np.vstack([pts, pts[:1]]), axis=0), axis=1).sum()
+    (tck, _) = splprep([pts[:, 0], pts[:, 1]], s=0, per=True)
+    # Dense sample -> arc-length table -> uniform resample.
+    tt = np.linspace(0.0, 1.0, 40 * len(pts), endpoint=False)
+    xx, yy = splev(tt, tck)
+    dense = np.stack([xx, yy], axis=1)
+    seg = np.linalg.norm(np.diff(np.vstack([dense, dense[:1]]), axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])[:-1]
+    k = max(8, int(round(per / spacing)))
+    want = np.linspace(0.0, per, k, endpoint=False)
+    idx = np.searchsorted(s, want)
+    idx = np.clip(idx, 0, len(dense) - 1)
+    return dense[idx]
+
+
+def _ring_distance(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Distance to the closed ring polyline (vectorised point-segment)."""
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    ab = b - a
+    ab2 = np.maximum((ab * ab).sum(axis=1), 1e-300)
+    ap = pts[:, None, :] - a[None, :, :]
+    t = np.clip((ap * ab[None]).sum(axis=2) / ab2[None], 0.0, 1.0)
+    proj = a[None] + t[..., None] * ab[None]
+    return np.linalg.norm(pts[:, None, :] - proj, axis=2).min(axis=1)
+
+
+def _in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    from matplotlib.path import Path
+
+    return Path(ring, closed=True).contains_points(pts)
+
+
+def generate_channel_mesh(
+    airfoil_ring: np.ndarray,
+    resolution: float,
+    airfoil_refine: float = AIRFOIL_REFINE,
+    grading: float = GRADING,
+    smooth_iters: int = 8,
+    max_rounds: int = 60,
+    seed: int = 0,
+) -> TriMesh:
+    """Generate a graded triangulation of the channel around the airfoil.
+
+    airfoil_ring: (K, 2) ordered geometry ring (e.g. from airfoil_polyline
+    on a stock mesh, or spline_ring output).  resolution: the reference
+    sweep's size parameter (benchmark CSV RESOLUTION column).
+    """
+    h_near = resolution / airfoil_refine
+    h_far = resolution
+
+    def h_of(pts: np.ndarray) -> np.ndarray:
+        d = _ring_distance(pts, ring)
+        return np.minimum(h_far, h_near + grading * d * (h_far - h_near) / h_far)
+
+    # --- boundary discretization --------------------------------------
+    ring = spline_ring(airfoil_ring, h_near)
+    nx = max(2, int(round((X_MAX - X_MIN) / h_far)))
+    ny = max(2, int(round((Y_MAX - Y_MIN) / h_far)))
+    xs = np.linspace(X_MIN, X_MAX, nx + 1)
+    ys = np.linspace(Y_MIN, Y_MAX, ny + 1)
+    rect = np.concatenate(
+        [
+            np.stack([xs, np.full_like(xs, Y_MIN)], 1)[:-1],
+            np.stack([np.full_like(ys, X_MAX), ys], 1)[:-1],
+            np.stack([xs[::-1], np.full_like(xs, Y_MAX)], 1)[:-1],
+            np.stack([np.full_like(ys, X_MIN), ys[::-1]], 1)[:-1],
+        ]
+    )
+
+    # Ring first (contiguous, in order) so airfoil_polyline reconstructs it.
+    fixed = np.vstack([ring, rect])
+    n_fixed = len(fixed)
+    pts = fixed.copy()
+
+    # --- Delaunay refinement -------------------------------------------
+    inside_margin = 0.4 * h_near
+    for _ in range(max_rounds):
+        tri = Delaunay(pts)
+        simp = tri.simplices
+        a, b, c = pts[simp[:, 0]], pts[simp[:, 1]], pts[simp[:, 2]]
+        # circumcenter/radius
+        d2 = 2.0 * ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                    - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+        d2 = np.where(np.abs(d2) < 1e-14, 1e-14, d2)
+        b2 = ((b - a) ** 2).sum(1)
+        c2 = ((c - a) ** 2).sum(1)
+        ux = a[:, 0] + ((c[:, 1] - a[:, 1]) * b2 - (b[:, 1] - a[:, 1]) * c2) / d2
+        uy = a[:, 1] + ((b[:, 0] - a[:, 0]) * c2 - (c[:, 0] - a[:, 0]) * b2) / d2
+        cc = np.stack([ux, uy], axis=1)
+        R = np.linalg.norm(cc - a, axis=1)
+
+        centroid = (a + b + c) / 3.0
+        live = ~_in_ring(centroid, ring)  # ignore hole triangles
+        target = h_of(centroid)
+        over = live & (R > 0.72 * target)
+
+        cand = cc[over]
+        if not len(cand):
+            break
+        # keep candidates inside the domain, clear of the boundary
+        ok = (
+            (cand[:, 0] > X_MIN + 0.3 * h_far)
+            & (cand[:, 0] < X_MAX - 0.3 * h_far)
+            & (cand[:, 1] > Y_MIN + 0.3 * h_far)
+            & (cand[:, 1] < Y_MAX - 0.3 * h_far)
+            & ~_in_ring(cand, ring)
+            & (_ring_distance(cand, ring) > inside_margin)
+        )
+        cand = cand[ok]
+        if not len(cand):
+            break
+        # thin candidates against existing points and each other
+        hc = h_of(cand)
+        near = cKDTree(pts).query(cand, k=1)[0]
+        keep = near > 0.6 * hc
+        cand, hc = cand[keep], hc[keep]
+        sel: list[int] = []
+        if len(cand):
+            ct = cKDTree(cand)
+            taken = np.zeros(len(cand), dtype=bool)
+            order = np.argsort(-hc)  # biggest gaps first
+            for i in order:
+                if taken[i]:
+                    continue
+                sel.append(i)
+                for j in ct.query_ball_point(cand[i], 0.6 * hc[i]):
+                    taken[j] = True
+        if not sel:
+            break
+        pts = np.vstack([pts, cand[sel]])
+
+    # --- final triangulation + hole carving ------------------------------
+    for _ in range(max(1, smooth_iters)):
+        tri = Delaunay(pts)
+        simp = tri.simplices
+        centroid = pts[simp].mean(axis=1)
+        keep_cells = ~_in_ring(centroid, ring)
+        simp = simp[keep_cells]
+        # Laplacian smooth interior (non-fixed) points over the kept cells.
+        if smooth_iters <= 0:
+            break
+        nbr_sum = np.zeros_like(pts)
+        nbr_cnt = np.zeros(len(pts))
+        for i, j in ((0, 1), (1, 2), (2, 0)):
+            np.add.at(nbr_sum, simp[:, i], pts[simp[:, j]])
+            np.add.at(nbr_cnt, simp[:, i], 1.0)
+            np.add.at(nbr_sum, simp[:, j], pts[simp[:, i]])
+            np.add.at(nbr_cnt, simp[:, j], 1.0)
+        movable = np.arange(len(pts)) >= n_fixed
+        upd = nbr_sum[movable] / np.maximum(nbr_cnt[movable], 1.0)[:, None]
+        pts[movable] = 0.5 * pts[movable] + 0.5 * upd
+        smooth_iters -= 1
+
+    # Drop any vertices orphaned by hole carving, preserving order.
+    used = np.zeros(len(pts), dtype=bool)
+    used[simp.ravel()] = True
+    remap = -np.ones(len(pts), dtype=np.int64)
+    remap[used] = np.arange(used.sum())
+    cells = remap[simp].astype(np.int32)
+    return TriMesh(coords=pts[used], cells=cells)

@@ -130,6 +130,113 @@ def build_fused_host_f64(
     )
 
 
+def _coo64(A):
+    A = sp.coo_matrix(A)
+    return (
+        jnp.asarray(A.row.astype(np.int32)),
+        jnp.asarray(A.col.astype(np.int32)),
+        jnp.asarray(A.data.astype(np.float64)),
+    )
+
+
+def _dense64(coo, shape):
+    r, c, v = coo
+    return jnp.zeros(shape, jnp.float64).at[r, c].add(v)
+
+
+def _refined_solve(A64, B64, iters):
+    """X ~= A^-1 B with f32 LU + f64-residual iterative refinement.
+
+    TPUs have no f64 LU (jnp.linalg.inv fails in f64), but XLA emulates f64
+    *matmul* (double-f32 passes), so each sweep
+
+        X_0 = A^-1_(f32) B,   X_(k+1) = X_k + A^-1_(f32) (B - A X_k)_(f64)
+
+    cuts the error by ~cond(A)*eps_f32 until the f64 composition fixed
+    point; casting X to f32 then yields the same correctly-rounded operator
+    entries as the host-f64 path (verified to ~1e-12 rel of
+    build_fused_host_f64 on ys930).
+    """
+    Ainv32 = jnp.linalg.inv(A64.astype(jnp.float32))
+    X = jnp.matmul(Ainv32, B64.astype(jnp.float32), precision=HIGH).astype(
+        jnp.float64
+    )
+    for _ in range(iters):
+        R = B64 - jnp.matmul(A64, X)
+        X = X + jnp.matmul(
+            Ainv32, R.astype(jnp.float32), precision=HIGH
+        ).astype(jnp.float64)
+    return X
+
+
+@partial(jax.jit, static_argnames=("n1", "npp", "iters"))
+def _compose_sys1(A_coo, R1_coo, P1m_coo, zu, t1, n1, npp, iters):
+    """Tentative-velocity system -> (F1u, F1p, A1Z, k1), one XLA module."""
+    A64 = _dense64(A_coo, (n1, n1))
+    B = jnp.concatenate(
+        [
+            zu[:, None] * _dense64(R1_coo, (n1, n1)),
+            zu[:, None] * _dense64(P1m_coo, (n1, npp)),
+            jnp.diag(zu),  # -> A1Z = A1^-1 diag(z_u)
+            t1[:, None],
+        ],
+        axis=1,
+    )
+    X = _refined_solve(A64, B, iters)
+    f32 = lambda a: a.astype(jnp.float32)
+    return (
+        f32(X[:, :n1]),
+        f32(X[:, n1 : n1 + npp]),
+        f32(X[:, n1 + npp : 2 * n1 + npp]),
+        f32(X[:, -1]),
+    )
+
+
+@partial(jax.jit, static_argnames=("npp", "n1", "iters"))
+def _compose_sys2(A_coo, Kp_coo, BT_coo, zp, t2, dt, npp, n1, iters):
+    """Pressure-Poisson system -> (F2p, F2u, k2)."""
+    A64 = _dense64(A_coo, (npp, npp))
+    B = jnp.concatenate(
+        [
+            zp[:, None] * _dense64(Kp_coo, (npp, npp)),
+            zp[:, None] * _dense64(BT_coo, (npp, n1)),
+            t2[:, None],
+        ],
+        axis=1,
+    )
+    X = _refined_solve(A64, B, iters)
+    f32 = lambda a: a.astype(jnp.float32)
+    return (
+        f32(X[:, :npp]),
+        f32(-(1.0 / dt) * X[:, npp : npp + n1]),
+        f32(X[:, -1]),
+    )
+
+
+@partial(jax.jit, static_argnames=("ns", "npp", "iters"))
+def _compose_sys3(A_coo, Ms_coo, G_coo, zs, t3x, t3y, dt, ns, npp, iters):
+    """Scalar-mass (velocity-correction) system -> (F3s, F3p, k3)."""
+    A64 = _dense64(A_coo, (ns, ns))
+    G64 = _dense64(G_coo, (2 * ns, npp))
+    B = jnp.concatenate(
+        [
+            zs[:, None] * _dense64(Ms_coo, (ns, ns)),
+            zs[:, None] * G64[:ns],
+            zs[:, None] * G64[ns:],
+            t3x[:, None],
+            t3y[:, None],
+        ],
+        axis=1,
+    )
+    X = _refined_solve(A64, B, iters)
+    f32 = lambda a: a.astype(jnp.float32)
+    F3s = f32(X[:, :ns])
+    F3px = f32(-dt * X[:, ns : ns + npp])
+    F3py = f32(-dt * X[:, ns + npp : ns + 2 * npp])
+    k3 = f32(jnp.concatenate([X[:, -2], X[:, -1]]))
+    return F3s, jnp.stack([F3px, F3py]), k3
+
+
 def build_fused_refined(
     *,
     A1bc,
@@ -153,109 +260,37 @@ def build_fused_refined(
     drag_p,
     lift_u,
     lift_p,
-    refine_iters: int = 3,
 ) -> FusedOperators:
     """Compose the fused operators ON DEVICE at f64-composition accuracy.
 
-    TPUs have no f64 LU (jnp.linalg.inv fails in f64), but XLA emulates f64
-    *matmul* (double-f32 passes).  So: invert each BC-eliminated system in
-    f32 on the MXU, then run iterative refinement on the whole block of
-    right-hand sides with residuals computed by f64 matmuls —
-
-        X_0 = A⁻¹₍f32₎ B,   X_{k+1} = X_k + A⁻¹₍f32₎ (B − A X_k)₍f64₎
-
-    Each sweep cuts the error by ~cond(A)·eps_f32, so `refine_iters`=3
-    reaches the f64 composition fixed point; casting X to f32 then yields
-    the same correctly-rounded operator entries as the host-f64 path
-    (build_fused_host_f64) with none of its ~80 s single-core LAPACK cost.
-    The per-system RHS blocks are concatenated so each system runs ONE
-    batched refine (3 big matmuls instead of a dozen thin ones).
+    Only the sparse COO operator data (a few MB) crosses the host link; each
+    system densifies, inverts (f32), and iteratively refines inside ONE
+    jitted module (3 modules total — the remote-TPU compile service charges
+    10-40 s per module, and the persistent compilation cache makes them
+    one-time costs per mesh shape).  The well-conditioned mass-dominated
+    systems converge in 2 sweeps but lift accuracy measurably prefers 3;
+    all systems get 3 (the extra f64 sweep costs ~3 s once per mesh).
     """
     Ns = A3bc_s.shape[0]
     n1 = A1bc.shape[0]
     npp = A2bc.shape[0]
+    f64 = lambda a: jnp.asarray(a, jnp.float64)
 
-    def _coo64(A):
-        A = sp.coo_matrix(A)
-        return (
-            jnp.asarray(A.row.astype(np.int32)),
-            jnp.asarray(A.col.astype(np.int32)),
-            jnp.asarray(A.data.astype(np.float64)),
-        )
-
-    def _dense64(A):
-        r, c, v = _coo64(A)
-        return jnp.zeros(A.shape, jnp.float64).at[r, c].add(v)
-
-    @partial(jax.jit, static_argnames=("iters",))
-    def _refined_solve(A64, B64, iters):
-        Ainv32 = jnp.linalg.inv(A64.astype(jnp.float32))
-        X = jnp.matmul(Ainv32, B64.astype(jnp.float32), precision=HIGH).astype(
-            jnp.float64
-        )
-        for _ in range(iters):
-            R = B64 - jnp.matmul(A64, X)
-            X = X + jnp.matmul(
-                Ainv32, R.astype(jnp.float32), precision=HIGH
-            ).astype(jnp.float64)
-        return X
+    F1u, F1p, A1Z, k1 = _compose_sys1(
+        _coo64(A1bc), _coo64(R1), _coo64(P1m), f64(z_u), f64(t1),
+        n1=n1, npp=npp, iters=3,
+    )
+    F2p, F2u, k2 = _compose_sys2(
+        _coo64(A2bc), _coo64(Kp), _coo64(BT), f64(z_p), f64(t2),
+        jnp.asarray(dt, jnp.float64), npp=npp, n1=n1, iters=3,
+    )
+    F3s, F3p, k3 = _compose_sys3(
+        _coo64(A3bc_s), _coo64(Ms), _coo64(G), f64(z_u[:Ns]),
+        f64(t3[:Ns]), f64(t3[Ns:]), jnp.asarray(dt, jnp.float64),
+        ns=Ns, npp=npp, iters=3,
+    )
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
-
-    # --- System 1: tentative velocity (n1 = 2Ns) ----------------------
-    zu = jnp.asarray(z_u, jnp.float64)
-    B1 = jnp.concatenate(
-        [
-            zu[:, None] * _dense64(R1),
-            zu[:, None] * _dense64(P1m),
-            jnp.diag(zu),  # -> A1Z = A1⁻¹ diag(z_u)
-            jnp.asarray(t1, jnp.float64)[:, None],
-        ],
-        axis=1,
-    )
-    X1 = _refined_solve(_dense64(A1bc), B1, refine_iters)
-    F1u = f32(X1[:, :n1])
-    F1p = f32(X1[:, n1 : n1 + npp])
-    A1Z = f32(X1[:, n1 + npp : 2 * n1 + npp])
-    k1 = f32(X1[:, -1])
-    del B1, X1
-
-    # --- System 2: pressure Poisson (npp) ------------------------------
-    zp = jnp.asarray(z_p, jnp.float64)
-    B2 = jnp.concatenate(
-        [
-            zp[:, None] * _dense64(Kp),
-            zp[:, None] * _dense64(BT),
-            jnp.asarray(t2, jnp.float64)[:, None],
-        ],
-        axis=1,
-    )
-    X2 = _refined_solve(_dense64(A2bc), B2, refine_iters)
-    F2p = f32(X2[:, :npp])
-    F2u = f32(-(1.0 / dt) * X2[:, npp : npp + n1])
-    k2 = f32(X2[:, -1])
-    del B2, X2
-
-    # --- System 3: scalar mass (Ns) ------------------------------------
-    zs = zu[:Ns]
-    G64 = _dense64(G)  # (2Ns, Np)
-    B3 = jnp.concatenate(
-        [
-            zs[:, None] * _dense64(Ms),
-            zs[:, None] * G64[:Ns],
-            zs[:, None] * G64[Ns:],
-            jnp.asarray(t3[:Ns], jnp.float64)[:, None],
-            jnp.asarray(t3[Ns:], jnp.float64)[:, None],
-        ],
-        axis=1,
-    )
-    X3 = _refined_solve(_dense64(A3bc_s), B3, refine_iters)
-    F3s = f32(X3[:, :Ns])
-    F3px = f32(-dt * X3[:, Ns : Ns + npp])
-    F3py = f32(-dt * X3[:, Ns + npp : Ns + 2 * npp])
-    k3 = f32(jnp.concatenate([X3[:, -2], X3[:, -1]]))
-    del B3, X3, G64
-
     out = FusedOperators(
         F1u=F1u,
         F1p=F1p,
@@ -265,7 +300,7 @@ def build_fused_refined(
         F2u=F2u,
         k2=k2,
         F3s=F3s,
-        F3p=jnp.stack([F3px, F3py]),
+        F3p=F3p,
         k3=k3,
         conv=conv,
         drag_u=f32(drag_u),

@@ -231,10 +231,14 @@ class IPCSSolver:
             self.work_dtype = jnp.float32
             self.pressure_dtype = jnp.float32
             # Default: on-device composition with f64-residual iterative
-            # refinement — host-f64 accuracy, device-seconds setup.
-            builder = (
-                build_fused_host_f64 if cfg.compose_on_host else build_fused_refined
-            )
+            # refinement — matches the host-f64 operator entries to ~1e-12
+            # rel at device speed.  On the CPU backend the f64 matmul
+            # sweeps are slower than one LAPACK inversion pass, so host
+            # composition stays the CPU default.
+            if cfg.compose_on_host or jax.default_backend() == "cpu":
+                builder = build_fused_host_f64
+            else:
+                builder = build_fused_refined
             self.dev = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,

@@ -30,6 +30,7 @@ class MetricsRecorder:
         self.losses: list[float] = []
         self.actions: list[list] = []
         self.epss: list[float] = []
+        self._pending: list = []  # device loss scalars awaiting readback
 
     # -- accumulation (DataHandler API) --------------------------------
     def add_eps(self, eps: float):
@@ -38,8 +39,23 @@ class MetricsRecorder:
     def num_eps(self) -> int:
         return len(self.epss)
 
-    def add_loss(self, loss: float):
-        self.losses.append(loss)
+    def add_loss(self, loss):
+        """Accepts a float OR a device scalar.  Device scalars are kept
+        un-synchronized and flushed in one batched readback — a per-step
+        `float(loss)` would force a host sync per gradient step, which on a
+        remote-TPU link costs more than the step itself."""
+        self._pending.append(loss)
+        if len(self._pending) >= 256:
+            self._flush_losses()
+
+    def _flush_losses(self):
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+
+        vals = np.asarray(jnp.stack([jnp.asarray(v) for v in self._pending]))
+        self.losses.extend(float(v) for v in vals)
+        self._pending = []
 
     def add_episode(self, ep_rew: list, ep_action: list):
         self.rewards.append(float(np.sum(ep_rew)))
@@ -51,6 +67,7 @@ class MetricsRecorder:
         return os.path.join(self.save_dir, self.prefix + name)
 
     def write(self):
+        self._flush_losses()
         np.save(self._p("reward.npy"), np.array(self.rewards, dtype=object), allow_pickle=True)
         np.save(self._p("rewards.npy"), np.array(self.ep_rewards, dtype=object), allow_pickle=True)
         np.save(self._p("losses.npy"), np.array(self.losses, dtype=object), allow_pickle=True)

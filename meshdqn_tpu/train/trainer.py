@@ -135,7 +135,10 @@ class Trainer:
             self.dqn = replicate(self.mesh, self.dqn)
 
     # ------------------------------------------------------------------
-    def _optimize(self) -> float | None:
+    def _optimize(self):
+        """One gradient step; returns the loss as an UNSYNCED device scalar
+        (MetricsRecorder batches the readbacks) or None until the buffer
+        holds a batch (airfoil_dqn.py:315-319)."""
         if len(self.replay) < self.batch_size:
             return None
         batch = self.replay.sample(self.batch_size, self.rng)
@@ -147,7 +150,7 @@ class Trainer:
             )
         else:
             self.dqn, loss = train_step(self.dqn, batch, self.dqn_cfg)
-        return float(loss)
+        return loss
 
     # ------------------------------------------------------------------
     def train(self, num_episodes: int | None = None, max_steps: int | None = None):

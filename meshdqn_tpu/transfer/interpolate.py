@@ -137,6 +137,54 @@ def _eval_all(src: SourceField, u_all: jnp.ndarray, p_all: jnp.ndarray,
     return jnp.stack([ux, uy], axis=-1), pv
 
 
+@jax.jit
+def _step_products(src: SourceField, u_all, p_all, pts, probe_u, probe_p, widx):
+    """One fused device pass per mesh change (the env hot path).
+
+    Interpolates all S snapshots onto the padded target dof points,
+    integrates the (padded) drag/lift functionals, gathers the observation
+    window's vertex features, and computes a finiteness flag — so the host
+    reads back ONE small vector per step instead of the full snapshot set
+    (the round-trip readback was >70% of env.step wall time on the
+    remote-TPU link).
+
+    probe_u: (2, 2, P) [drag,lift][x,y] zero-padded velocity functionals;
+    probe_p: (2, P) pressure functionals; widx: (W,) window vertex indices
+    (vertices are the first points of `pts`).
+
+    Returns (uv (S,P,2), pv (S,P), small) where small packs
+    [finite, drags (S,), lifts (S,), vel_w (S,W,2), p_w (S,W)] as one f32
+    vector for a single host readback.
+    """
+    uv, pv = _eval_all(src, u_all, p_all, pts)
+    finite = jnp.isfinite(uv).all() & jnp.isfinite(pv).all()
+    forces = jnp.einsum("spc,fcp->fs", uv, probe_u) + jnp.einsum(
+        "sp,fp->fs", pv, probe_p
+    )  # (2, S)
+    vel_w = jnp.take(uv, widx, axis=1)  # (S, W, 2)
+    p_w = jnp.take(pv, widx, axis=1)  # (S, W)
+    small = jnp.concatenate(
+        [
+            finite.astype(jnp.float32)[None],
+            forces.reshape(-1).astype(jnp.float32),
+            vel_w.reshape(-1).astype(jnp.float32),
+            p_w.reshape(-1).astype(jnp.float32),
+        ]
+    )
+    return uv, pv, small
+
+
+@jax.jit
+def _gather_window(uv, pv, widx):
+    """Window-feature gather from device-resident interpolants (the
+    do-nothing/window-shift path: no re-interpolation needed)."""
+    vel_w = jnp.take(uv, widx, axis=1)
+    p_w = jnp.take(pv, widx, axis=1)
+    return jnp.concatenate(
+        [vel_w.reshape(-1).astype(jnp.float32), p_w.reshape(-1).astype(jnp.float32)]
+    )
+
+
 # ----------------------------------------------------------------------
 # Snapshot transfer onto a (coarsened) target mesh
 # ----------------------------------------------------------------------
@@ -161,7 +209,12 @@ class SnapshotTransfer:
     device call each.
     """
 
-    def __init__(self, source_mesh: TriMesh, snapshots: SnapshotSet):
+    def __init__(
+        self,
+        source_mesh: TriMesh,
+        snapshots: SnapshotSet,
+        window_budget: int = 180,
+    ):
         self.src = SourceField.build(source_mesh)
         self.u_src = jnp.asarray(np.stack(snapshots.u))  # (S, 2Ns)
         self.p_src = jnp.asarray(np.stack(snapshots.p))  # (S, Np)
@@ -170,6 +223,8 @@ class SnapshotTransfer:
         # as the episode progresses.
         self._budget2 = P2Space(source_mesh).ndofs
         self._budget1 = source_mesh.num_vertices
+        # Observation-window budget (N_closest) for the fused feature gather.
+        self.window_budget = window_budget
 
     def _padded(self, pts: np.ndarray, budget: int) -> jnp.ndarray:
         n = len(pts)
@@ -196,6 +251,75 @@ class SnapshotTransfer:
         u_new = np.concatenate([uv[..., 0], uv[..., 1]], axis=1)
         p_new = np.asarray(pv)[:, :n1]
         return SnapshotSet(u=u_new, p=p_new)
+
+    def step_products(self, target: TriMesh, window: np.ndarray, dprobe, lprobe):
+        """Fused per-removal device pass: interpolate + probes + window
+        features, ONE small host readback (see _step_products).
+
+        Returns (dev_snaps, finite, drags (S,), lifts (S,), vel_w (S,k,2),
+        p_w (S,k)) where dev_snaps = (uv, pv, n1, n2) stays on device,
+        padded; k = len(window).
+        """
+        Vs = P2Space(target)
+        n2, n1 = Vs.ndofs, target.num_vertices
+        P = max(self._budget2, n2)
+        pts = self._padded(Vs.dof_coords(), self._budget2)
+
+        Ns_t = n2
+        probe_u = np.zeros((2, 2, P))
+        probe_p = np.zeros((2, P))
+        for f, pr in enumerate((dprobe, lprobe)):
+            probe_u[f, 0, :Ns_t] = pr.d_u[:Ns_t]
+            probe_u[f, 1, :Ns_t] = pr.d_u[Ns_t:]
+            probe_p[f, :n1] = pr.d_p
+
+        W = self.window_budget
+        k = len(window)
+        widx = np.zeros(W, dtype=np.int32)
+        widx[:k] = window
+        S = len(self.u_src)
+
+        uv, pv, small = _step_products(
+            self.src,
+            self.u_src,
+            self.p_src,
+            pts,
+            jnp.asarray(probe_u, jnp.float64),
+            jnp.asarray(probe_p, jnp.float64),
+            jnp.asarray(widx),
+        )
+        small = np.asarray(small)  # the ONE readback
+        finite = bool(small[0])
+        drags = small[1 : 1 + S].astype(np.float64)
+        lifts = small[1 + S : 1 + 2 * S].astype(np.float64)
+        off = 1 + 2 * S
+        vel_w = small[off : off + S * W * 2].reshape(S, W, 2)[:, :k]
+        p_w = small[off + S * W * 2 :].reshape(S, W)[:, :k]
+        return (uv, pv, n1, n2), finite, drags, lifts, vel_w, p_w
+
+    def gather_window(self, dev_snaps, window: np.ndarray):
+        """Window features from device-resident interpolants (window-shift
+        steps: the mesh — hence the interpolation — is unchanged)."""
+        uv, pv, n1, n2 = dev_snaps
+        W = self.window_budget
+        k = len(window)
+        widx = np.zeros(W, dtype=np.int32)
+        widx[:k] = window
+        S = len(self.u_src)
+        small = np.asarray(_gather_window(uv, pv, jnp.asarray(widx)))
+        vel_w = small[: S * W * 2].reshape(S, W, 2)[:, :k]
+        p_w = small[S * W * 2 :].reshape(S, W)[:, :k]
+        return vel_w, p_w
+
+    def materialize(self, dev_snaps) -> SnapshotSet:
+        """Read device-resident interpolants back as an unpadded
+        SnapshotSet (plotting / artifact paths only)."""
+        uv, pv, n1, n2 = dev_snaps
+        uvn = np.asarray(uv)[:, :n2, :]
+        return SnapshotSet(
+            u=np.concatenate([uvn[..., 0], uvn[..., 1]], axis=1),
+            p=np.asarray(pv)[:, :n1],
+        )
 
     def vertex_fields(self, target: TriMesh, snaps: SnapshotSet):
         """velocities (S, V, 2) and pressures (S, V) at target vertices.

@@ -1,0 +1,112 @@
+"""Regenerate the reference's mesh-resolution benchmark sweep from geometry.
+
+The reference's de-facto regression table is a 54-row CSV per airfoil
+(training_results/benchmark_results/*.csv: NUM_COORDS,RESOLUTION,TIME,DRAG,
+LIFT over resolutions 0.05-0.3, produced by an external mesh generator +
+one full FEniCS solve per row, ~100-400 s each).  This script reproduces the
+whole workflow with this framework's own tools:
+
+1. meshes are GENERATED from the airfoil geometry at each resolution
+   (mesh/generate.py: spline ring + graded Delaunay refinement);
+2. each mesh gets the full 5000-step transient solve on the accelerator —
+   fused dense operators with f64-refined composition where they fit,
+   the unfused invert-once path for the largest meshes;
+3. rows are appended incrementally to an output CSV in the reference layout,
+   so a partial run is still useful.
+
+Usage:
+    python scripts/resolution_sweep.py --airfoil ys930 \
+        [--resolutions 0.05 ... 0.3] [--steps 5000] [--out artifacts/...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STOCK = {
+    "ys930": "/root/reference/xdmf_files/ys930_0.15000_triangle.xdmf",
+    "ah93w145": "/root/reference/xdmf_files/ah93w145_0.14000_triangle.xdmf",
+}
+
+DEFAULT_RESOLUTIONS = [
+    0.05, 0.055, 0.06, 0.065, 0.07, 0.075, 0.08, 0.085, 0.09, 0.095,
+    0.10, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.20,
+    0.225, 0.25, 0.275, 0.30,
+]
+
+# Above this vertex count the fused dense operators / f64 refinement
+# blocks stop fitting comfortably in 16 GB HBM; use the unfused
+# invert-once path there (same physics, ~2.5x the per-step cost).
+FUSED_VERTEX_LIMIT = 1600
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--airfoil", default="ys930", choices=sorted(STOCK))
+    ap.add_argument("--resolutions", type=float, nargs="+", default=DEFAULT_RESOLUTIONS)
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--save-steps", type=int, default=1000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--save-meshes", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    import meshdqn_tpu  # noqa: F401  (precision config)
+    from meshdqn_tpu.mesh import airfoil_polyline, read_xdmf, smooth, write_xdmf
+    from meshdqn_tpu.mesh.generate import generate_channel_mesh
+    from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
+
+    out = args.out or f"artifacts/benchmark_results/gen_{args.airfoil}_benchmark.csv"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ring = airfoil_polyline(read_xdmf(STOCK[args.airfoil]))
+    backend = jax.default_backend()
+    print(f"backend={backend} -> {out}", flush=True)
+
+    wrote_header = os.path.exists(out) and os.path.getsize(out) > 0
+    with open(out, "a") as f:
+        if not wrote_header:
+            f.write("NUM_COORDS,RESOLUTION,TIME,DRAG,LIFT\n")
+        for res in sorted(args.resolutions, reverse=True):  # cheap rows first
+            t_gen = time.time()
+            mesh = smooth(generate_channel_mesh(ring, res), 50)
+            nv = mesh.num_vertices
+            fused = nv <= FUSED_VERTEX_LIMIT and backend == "tpu"
+            cfg = IPCSConfig(
+                precision="f32" if backend == "tpu" else "f64",
+                fused=fused,
+                invert_on_device=backend == "tpu",
+            )
+            try:
+                solver = IPCSSolver(mesh, cfg)
+                t0 = time.time()
+                sol = solver.solve(args.steps, save_steps=args.save_steps)
+                drag = float(sol["snap_drags"][-1])
+                lift = float(sol["snap_lifts"][-1])
+                wall = time.time() - t0
+            except Exception as e:  # record the failure, keep sweeping
+                print(f"res {res}: FAILED {type(e).__name__}: {e}", flush=True)
+                continue
+            f.write(f"{nv},{res:.5f},{wall:.7f},{drag:.7f},{lift:.7f}\n")
+            f.flush()
+            print(
+                f"res {res}: verts {nv} fused={fused} solve {wall:.1f}s "
+                f"(setup {t0 - t_gen:.1f}s) drag {drag:.7f} lift {lift:.7f}",
+                flush=True,
+            )
+            if args.save_meshes:
+                mdir = os.path.join(os.path.dirname(out), "meshes")
+                os.makedirs(mdir, exist_ok=True)
+                write_xdmf(
+                    os.path.join(mdir, f"{args.airfoil}_{res:.5f}_gen.xdmf"), mesh
+                )
+
+
+if __name__ == "__main__":
+    main()

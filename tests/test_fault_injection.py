@@ -55,46 +55,53 @@ class TestEnvFaults:
         assert np.array_equal(env.mesh.coords, coords_before)
 
     def test_nan_interpolation_rejected(self, env, monkeypatch):
+        # Non-finite interpolants out of the fused device pass -> rollback
+        # (the reference's "INTERPOLATION BROKE", Env2DAirfoil.py:569-573).
         env.reset()
         coords_before = env.mesh.coords.copy()
 
-        from meshdqn_tpu.transfer import SnapshotSet
+        def nan_products(target, window, dprobe, lprobe):
+            return None, False, None, None, None, None
 
-        def bad_to_mesh(target):
-            S = env.snaps.num_snapshots
-            from meshdqn_tpu.fem.spaces import P2Space
+        monkeypatch.setattr(env.transfer, "step_products", nan_products)
+        state, rew, done, info = env.step(0)
+        assert rew == -1.0
+        assert done and info.broken
+        assert np.array_equal(env.mesh.coords, coords_before)
 
-            n = P2Space(target).ndofs
-            u = np.full((S, 2 * n), np.nan)
-            return SnapshotSet(u=u, p=np.zeros((S, target.num_vertices)))
+    def test_interpolation_exception_rolls_back(self, env, monkeypatch):
+        env.reset()
+        coords_before = env.mesh.coords.copy()
 
-        monkeypatch.setattr(env.transfer, "to_mesh", bad_to_mesh)
+        def boom(*a, **k):
+            raise RuntimeError("interp broke")
+
+        monkeypatch.setattr(env.transfer, "step_products", boom)
         state, rew, done, info = env.step(0)
         assert rew == -1.0
         assert done and info.broken
         assert np.array_equal(env.mesh.coords, coords_before)
 
     def test_nan_reward_trapped(self, env, monkeypatch):
-        # NaN drag values -> reward clamped to -1 (Env2DAirfoil.py:372-375).
-        # Patch the class: the env rebuilds its probe objects on every
-        # remesh, discarding any instance-level patch.
+        # NaN probe integrals out of an otherwise-successful removal ->
+        # reward clamped to -1, "SAMPLING BROKE" terminal
+        # (Env2DAirfoil.py:372-375, 395-397).
         env.reset()
-        from meshdqn_tpu import probes
+        real = env.transfer.step_products
 
-        monkeypatch.setattr(
-            probes.ForceProbe, "sample", lambda self, u, p: float("nan")
-        )
+        def nan_drags(*a, **k):
+            dev, finite, drags, lifts, vel_w, p_w = real(*a, **k)
+            return dev, finite, np.full_like(drags, np.nan), lifts, vel_w, p_w
+
+        monkeypatch.setattr(env.transfer, "step_products", nan_drags)
         state, rew, done, info = env.step(0)
         assert rew == -1.0
+        assert done and info.broken
 
-    def test_sampling_exception_terminal(self, env, monkeypatch):
-        # "SAMPLING BROKE" path (Env2DAirfoil.py:395-397): probe raising ->
-        # reward -1, broken, terminal.
+    def test_sampling_exception_terminal(self, env):
+        # "SAMPLING BROKE" path (Env2DAirfoil.py:395-397): non-finite cached
+        # probe values -> reward -1, broken, terminal.
         env.reset()
-
-        def boom(u, p):
-            raise RuntimeError("probe broke")
-
-        monkeypatch.setattr(env._drag_probe, "sample", boom)
+        env.new_drags = np.full_like(np.asarray(env.new_drags), np.nan)
         rew, broken, terminal = env.calculate_reward()
         assert rew == -1.0 and broken and terminal
