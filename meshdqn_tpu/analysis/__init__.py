@@ -1,10 +1,16 @@
 from .actions import analyze_actions
-from .benchmark import benchmark_figure, load_sweep, run_resolution_sweep
+from .benchmark import (
+    benchmark_figure,
+    improvement_figure,
+    load_sweep,
+    run_resolution_sweep,
+)
 from .reward import movingaverage, plot_reward
 
 __all__ = [
     "analyze_actions",
     "benchmark_figure",
+    "improvement_figure",
     "load_sweep",
     "run_resolution_sweep",
     "movingaverage",

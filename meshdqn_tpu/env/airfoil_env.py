@@ -35,7 +35,7 @@ import numpy as np
 
 from ..coarsen import RemovalStatus, remove_vertex
 from ..mesh import TriMesh, airfoil_polyline, mark_boundaries, read_xdmf, smooth
-from ..probes import drag_probe, lift_probe
+from ..probes import force_probes
 from ..solver import IPCSConfig, IPCSSolver
 from ..transfer import SnapshotSet, SnapshotTransfer
 from ..utils import Config
@@ -122,10 +122,29 @@ class StepInfo:
     terminal_reason: str = ""
 
 
+@dataclass
+class StepPrep:
+    """Output of the host phase of a step (prepare_step), consumed by
+    complete_step after the (possibly batched) fused device pass."""
+
+    action: int
+    info: StepInfo
+    kind: str = "nothing"  # 'remove' | 'nothing'
+    status: int = 0  # removal status known so far
+    pending: dict | None = None  # commit payload for a successful removal
+    inputs: dict | None = None  # device-call inputs (transfer.step_inputs)
+    post_window: np.ndarray | None = None  # window for a batched gather
+
+
 class AirfoilEnv:
     """gym-style Env: reset() -> obs; step(a) -> (obs, reward, done, info)."""
 
-    def __init__(self, config: Config, ground_truth: GroundTruth | None = None):
+    def __init__(
+        self,
+        config: Config,
+        ground_truth: GroundTruth | None = None,
+        transfer: SnapshotTransfer | None = None,
+    ):
         self.config = config
         if ground_truth is None:
             ground_truth = compute_ground_truth(config)
@@ -148,7 +167,7 @@ class AirfoilEnv:
 
         # Fixed across the whole job:
         self.initial_num_nodes = ground_truth.mesh.num_vertices
-        self.transfer = SnapshotTransfer(
+        self.transfer = transfer or SnapshotTransfer(
             ground_truth.mesh,
             ground_truth.snapshots,
             window_budget=agent.N_closest,
@@ -205,6 +224,7 @@ class AirfoilEnv:
         self._snaps_np = self.gt.snapshots
         self._vfields = None
         self._cached_state_inputs = None
+        self._last_state_inputs = None
         self._refresh_mesh_products()
         # Initial probe values: cheap host dots on the numpy GT snapshots
         # (identical to the ground-truth integration on the same mesh).
@@ -231,8 +251,7 @@ class AirfoilEnv:
         """Per-mesh derived data: markers, probes, removable set."""
         self.markers = mark_boundaries(self.mesh)
         mu = self.config.flow.mu
-        self._drag_probe = drag_probe(self.mesh, self.markers, mu)
-        self._lift_probe = lift_probe(self.mesh, self.markers, mu)
+        self._drag_probe, self._lift_probe = force_probes(self.mesh, self.markers, mu)
         self.removable = np.flatnonzero(~self.mesh.boundary_vertex_mask)
 
     # --- lazy snapshot views (plotting / artifact paths only) ----------
@@ -284,6 +303,7 @@ class AirfoilEnv:
                 vel, pres = self._vertex_fields()
                 vel_w, p_w = vel[:, window, :], pres[:, window]
         self._current_window = window
+        self._last_state_inputs = (window, vel_w, p_w)
         return build_graph_state(
             self.mesh.coords,
             self.mesh.cells,
@@ -295,19 +315,57 @@ class AirfoilEnv:
         )
 
     # ------------------------------------------------------------------
+    # The step is split into a host phase (prepare_step: mesh surgery,
+    # probe assembly, window search) and a completion phase so a trainer
+    # can run MANY envs' fused device passes as one batched call between
+    # the two (Trainer._sweep); step() composes them for single-env use.
     def step(self, action: int):
-        info = StepInfo(removed=0, num_vertices=self.mesh.num_vertices)
-        broken = False
+        prep = self.prepare_step(action)
+        result = None
+        if prep.inputs is not None:
+            try:
+                result = self.transfer.step_products_from_inputs(prep.inputs)
+            except Exception:
+                result = None  # rollback in complete_step
+        return self.complete_step(prep, result)
 
+    def prepare_step(self, action: int) -> "StepPrep":
+        info = StepInfo(removed=0, num_vertices=self.mesh.num_vertices)
+        prep = StepPrep(action=action, info=info)
         if action == self.action_space_n:
             # Do-nothing: shift the window (Env2DAirfoil.py:330-331).
             self.do_nothing_offset += 1
-            removed = 0
+            prep.kind = "nothing"
+            if self._dev_snaps is not None:
+                # Post-shift window for the (batchable) feature gather.
+                prep.post_window = self._window()
         else:
-            removed = self._remove(action)
+            prep.kind = "remove"
+            prep.status, prep.pending = self._begin_remove(action)
+            if prep.pending is not None:
+                prep.inputs = prep.pending["inputs"]
+        return prep
+
+    def complete_step(self, prep: "StepPrep", result=None):
+        info = prep.info
+        removed = prep.status
+        if prep.kind == "remove" and removed == 0:
+            removed = self._commit_remove(prep.pending, result)
         info.removed = removed
 
+        # Feature reuse for unchanged-mesh outcomes: a failed removal leaves
+        # both the mesh and the window untouched, so the previous state's
+        # features are exactly correct (no device work).
+        if (
+            self._cached_state_inputs is None
+            and prep.kind == "remove"
+            and removed != 0
+            and self._last_state_inputs is not None
+        ):
+            self._cached_state_inputs = self._last_state_inputs
+
         state = self.get_state()
+        broken = False
         if self.out_of_vertices:
             removed = 2
             info.terminal_reason = "out_of_vertices"
@@ -340,56 +398,74 @@ class AirfoilEnv:
         return state, float(rew), self.terminal, info
 
     # ------------------------------------------------------------------
-    def _remove(self, action: int) -> int:
+    def _begin_remove(self, action: int):
+        """Host phase of a removal: mesh surgery + per-mesh products +
+        device-call inputs.  Returns (status, pending); pending is None
+        unless status == 0 (device pass still required)."""
         window = getattr(self, "_current_window", None)
         if window is None:
             window = self._window()
         if action >= len(window):
-            return 2  # ran out of vertices (Env2DAirfoil.py:456-458)
+            return 2, None  # ran out of vertices (Env2DAirfoil.py:456-458)
         vertex = int(window[action])
 
         res = remove_vertex(
             self.mesh, vertex, removable_mask=~self.mesh.boundary_vertex_mask
         )
         if res.status != RemovalStatus.OK:
-            return int(res.status)
+            return int(res.status), None
 
         new_mesh = res.mesh
         # remesh(): smooth again on every remesh (flow_solver.py:236-237).
         if self.config.flow.smooth:
             new_mesh = smooth(new_mesh, 50)
 
-        # Host-side per-mesh products, then ONE fused device pass:
-        # interpolation of the ORIGINAL snapshots (Env2DAirfoil.py:556-568),
-        # probe integration, window features, finiteness — a single small
-        # readback instead of shipping the full snapshot set back per step.
+        # Host-side per-mesh products; the fused device pass (interpolation
+        # of the ORIGINAL snapshots per Env2DAirfoil.py:556-568, probe
+        # integration, window features, finiteness) runs between
+        # prepare_step and complete_step — solo or batched across envs.
         mu = self.config.flow.mu
         markers = mark_boundaries(new_mesh)
-        dprobe = drag_probe(new_mesh, markers, mu)
-        lprobe = lift_probe(new_mesh, markers, mu)
+        dprobe, lprobe = force_probes(new_mesh, markers, mu)
         removable = np.flatnonzero(~new_mesh.boundary_vertex_mask)
         new_window, oov = self._window_for(new_mesh, removable)
         try:
-            dev_snaps, finite, drags, lifts, vel_w, p_w = (
-                self.transfer.step_products(new_mesh, new_window, dprobe, lprobe)
-            )
+            inputs = self.transfer.step_inputs(new_mesh, new_window, dprobe, lprobe)
         except Exception:
+            return 2, None
+        return 0, {
+            "mesh": new_mesh,
+            "markers": markers,
+            "dprobe": dprobe,
+            "lprobe": lprobe,
+            "removable": removable,
+            "window": new_window,
+            "oov": oov,
+            "removed_coordinate": res.removed_coordinate,
+            "inputs": inputs,
+        }
+
+    def _commit_remove(self, pending: dict, result) -> int:
+        """Completion phase: inspect the device pass result, commit or
+        roll back (the rollback is simply not committing — all pending
+        state is local)."""
+        if result is None:
             return 2  # "INTERPOLATION BROKE" path -> rollback
+        dev_snaps, finite, drags, lifts, vel_w, p_w = result
         if not finite:
             return 2
 
-        # Commit.
-        self.removed_coordinates.append(res.removed_coordinate)
-        self.mesh = new_mesh
-        self.markers = markers
-        self._drag_probe, self._lift_probe = dprobe, lprobe
-        self.removable = removable
+        self.removed_coordinates.append(pending["removed_coordinate"])
+        self.mesh = pending["mesh"]
+        self.markers = pending["markers"]
+        self._drag_probe, self._lift_probe = pending["dprobe"], pending["lprobe"]
+        self.removable = pending["removable"]
         self._dev_snaps = dev_snaps
         self._snaps_np = None
         self._vfields = None
         self.new_drags, self.new_lifts = drags, lifts
-        self._cached_state_inputs = (new_window, vel_w, p_w)
-        if oov:
+        self._cached_state_inputs = (pending["window"], vel_w, p_w)
+        if pending["oov"]:
             self.out_of_vertices = True
         return 0
 

@@ -91,12 +91,17 @@ def build_graph_state(
     edge_mask = np.zeros(edge_budget, dtype=bool)
     edge_mask[:ne] = True
 
+    # Host arrays on purpose: observations are pushed into the (host) replay
+    # ring and stacked for batched device calls; returning device arrays here
+    # would force a tunnel readback per replay push (measured 140 ms/step on
+    # the remote-TPU link).  H2D transfer happens asynchronously at the
+    # batched action-selection / train-step calls instead.
     return GraphState(
-        x=jnp.asarray(x),
-        edge_index=jnp.asarray(edge_index),
-        edge_attr=jnp.asarray(edge_attr),
-        node_mask=jnp.asarray(node_mask),
-        edge_mask=jnp.asarray(edge_mask),
+        x=x,
+        edge_index=edge_index,
+        edge_attr=edge_attr,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
     )
 
 

@@ -67,7 +67,9 @@ def smooth(mesh: TriMesh, num_iterations: int = 50, use_native: bool = True) -> 
             from ..native import smooth_native
 
             coords = smooth_native(mesh.coords, *topo, num_iterations)
-            return TriMesh(coords=coords, cells=mesh.cells)
+            # Connectivity is untouched -> share the topology instead of
+            # re-running edge extraction (with_coords).
+            return mesh.with_coords(coords)
         except RuntimeError:
             pass
     return _smooth_python(mesh, topo, num_iterations)
@@ -97,4 +99,4 @@ def _smooth_python(mesh: TriMesh, topo, num_iterations: int) -> TriMesh:
             step = min(0.5 * rmin, r)
             coords[v] = p + step * d / r
 
-    return TriMesh(coords=coords, cells=mesh.cells)
+    return mesh.with_coords(coords)

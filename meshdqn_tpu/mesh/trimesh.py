@@ -79,6 +79,26 @@ class TriMesh:
         mask[self.boundary_facets.ravel()] = True
         self.boundary_vertex_mask = mask
 
+    def with_coords(self, coords: np.ndarray) -> "TriMesh":
+        """A mesh with the same connectivity but new vertex positions.
+
+        Topology is purely combinatorial, so it is SHARED with self instead
+        of rebuilt — smoothing (which only moves vertices) uses this to skip
+        the ~10 ms np.unique edge extraction per remesh."""
+        new = object.__new__(TriMesh)
+        new.coords = np.ascontiguousarray(coords, dtype=np.float64)
+        new.cells = self.cells
+        for name in (
+            "edges",
+            "cell_edges",
+            "boundary_facets",
+            "facet_cells",
+            "facet_local",
+            "boundary_vertex_mask",
+        ):
+            setattr(new, name, getattr(self, name))
+        return new
+
     # ------------------------------------------------------------------
     @property
     def num_vertices(self) -> int:

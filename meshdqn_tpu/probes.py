@@ -35,21 +35,11 @@ class ForceProbe:
         return float(self.d_u @ u + self.d_p @ p)
 
 
-def assemble_force_probe(
-    mesh: TriMesh,
-    markers: BoundaryMarkers,
-    mu: float,
-    direction: tuple,
-    tags: tuple = (AIRFOIL,),
-) -> ForceProbe:
-    V = VectorP2Space(mesh)
-    Q = P1Space(mesh)
-    e = np.asarray(direction, dtype=np.float64)
-
+def _facet_tabulation(mesh: TriMesh, markers: BoundaryMarkers, tags: tuple):
+    """Shared per-facet geometry/quadrature tabulation for force probes."""
     sel = np.isin(markers.markers, tags)
     fc = mesh.facet_cells[sel]
     fl = mesh.facet_local[sel]
-    facets = mesh.boundary_facets[sel]
     n = mesh.facet_normals()[sel]  # (F,2)
     L = mesh.facet_lengths()[sel]
 
@@ -57,8 +47,7 @@ def assemble_force_probe(
     K = len(t1d)
     F = len(fc)
     ref_pts = np.stack([facet_points(l, t1d) for l in range(3)])  # (3,K,2)
-    fref = ref_pts[fl]  # (F,K,2)
-    flat = fref.reshape(-1, 2)
+    flat = ref_pts[fl].reshape(-1, 2)
 
     _, _, Jinv = cell_jacobians(mesh)
     g2f = np.einsum(
@@ -66,18 +55,44 @@ def assemble_force_probe(
     )  # (F,K,6,2)
     phi1f = p1_basis(flat).reshape(F, K, 3)
     W = w1d[None, :] * L[:, None]  # (F,K)
-
-    # Velocity part: 2 mu (eps(Phi) n) . e per local vector dof.
     E = _strain_basis(g2f)  # (F,K,12,2,2)
-    contrib_u = 2.0 * mu * np.einsum("fk,fkaij,fj,i->fa", W, E, n, e)  # (F,12)
-    # Pressure part: -(n . e) int phi_b
-    contrib_p = -np.einsum("fk,fkb,f->fb", W, phi1f, n @ e)  # (F,3)
+    # Direction-independent kernels: contract with e afterwards.
+    ker_u = np.einsum("fk,fkaij,fj->fai", W, E, n)  # (F,12,2)
+    ker_p = -np.einsum("fk,fkb,fi->fbi", W, phi1f, n)  # (F,3,2)
+    return fc, ker_u, ker_p
 
+
+def _scatter_probe(mesh, fc, contrib_u, contrib_p) -> ForceProbe:
+    V = VectorP2Space(mesh)
+    Q = P1Space(mesh)
     d_u = np.zeros(V.ndofs)
     d_p = np.zeros(Q.ndofs)
     np.add.at(d_u, V.cell_dofs()[fc].ravel(), contrib_u.ravel())
     np.add.at(d_p, Q.cell_dofs()[fc].ravel(), contrib_p.ravel())
     return ForceProbe(d_u=d_u, d_p=d_p)
+
+
+def assemble_force_probe(
+    mesh: TriMesh,
+    markers: BoundaryMarkers,
+    mu: float,
+    direction: tuple,
+    tags: tuple = (AIRFOIL,),
+) -> ForceProbe:
+    e = np.asarray(direction, dtype=np.float64)
+    fc, ker_u, ker_p = _facet_tabulation(mesh, markers, tags)
+    return _scatter_probe(mesh, fc, 2.0 * mu * (ker_u @ e), ker_p @ e)
+
+
+def force_probes(mesh, markers, mu, tags=(AIRFOIL,)):
+    """(drag, lift) probes sharing one facet tabulation — assembled per
+    remesh on the env hot path, so the geometry work is done once."""
+    fc, ker_u, ker_p = _facet_tabulation(mesh, markers, tags)
+    ex = np.array([1.0, 0.0])
+    ey = np.array([0.0, 1.0])
+    drag = _scatter_probe(mesh, fc, 2.0 * mu * (ker_u @ ex), ker_p @ ex)
+    lift = _scatter_probe(mesh, fc, 2.0 * mu * (ker_u @ ey), ker_p @ ey)
+    return drag, lift
 
 
 def drag_probe(mesh, markers, mu, tags=(AIRFOIL,)) -> ForceProbe:

@@ -82,8 +82,16 @@ class Trainer:
             config, self.save_dir, ground_truth
         )
 
+        # One shared SnapshotTransfer: the source mesh/snapshots are common,
+        # and sharing it lets the sweep batch all envs' fused device passes
+        # into single vmapped calls (one tunnel round-trip per sweep).
+        from ..transfer import SnapshotTransfer
+
+        self._shared_transfer = SnapshotTransfer(
+            self.gt.mesh, self.gt.snapshots, window_budget=agent.N_closest
+        )
         self.envs = [
-            AirfoilEnv(config, ground_truth=self.gt)
+            AirfoilEnv(config, ground_truth=self.gt, transfer=self._shared_transfer)
             for _ in range(agent.num_parallel)
         ]
 
@@ -110,6 +118,10 @@ class Trainer:
         self.metrics = MetricsRecorder(self.save_dir, config.prefix)
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpt"))
         self.state = TrainerState()
+        self.plot_every = max(25, agent.write_every)
+        self.write_every = agent.write_every
+        self.checkpoint_every = agent.checkpoint_every
+        self._last_saved_episode = -1
 
         if resume:
             restored = self.ckpt.restore(self.dqn)
@@ -203,10 +215,44 @@ class Trainer:
                     if actions[i] is None:
                         actions[i] = int(chosen[i])
 
+            # Phase 2 (host): mesh surgery + device-call inputs for every
+            # env; Phase 3 (device): ONE batched fused pass for all the
+            # removing envs and one batched feature gather for the
+            # window-shift envs — single tunnel round-trips per sweep
+            # instead of one per env.
+            preps = [env.prepare_step(actions[i]) for i, env in enumerate(self.envs)]
+            results: dict[int, tuple] = {}
+            removal_idx = [i for i, p in enumerate(preps) if p.inputs is not None]
+            if removal_idx:
+                try:
+                    outs = self._shared_transfer.run_products_batched(
+                        [preps[i].inputs for i in removal_idx], pad_to=n_envs
+                    )
+                    results = dict(zip(removal_idx, outs))
+                except Exception:
+                    results = {}  # every pending removal rolls back
+            gather_idx = [
+                i for i, p in enumerate(preps) if p.post_window is not None
+            ]
+            if gather_idx:
+                feats = self._shared_transfer.gather_window_batched(
+                    [
+                        (self.envs[i]._dev_snaps, preps[i].post_window)
+                        for i in gather_idx
+                    ],
+                    pad_to=n_envs,
+                )
+                for i, (vel_w, p_w) in zip(gather_idx, feats):
+                    self.envs[i]._cached_state_inputs = (
+                        preps[i].post_window,
+                        vel_w,
+                        p_w,
+                    )
+
             for i, env in enumerate(self.envs):
                 eps_val = eps_sweep[i]
                 action = actions[i]
-                nxt, rew, done, info = env.step(action)
+                nxt, rew, done, info = env.complete_step(preps[i], results.get(i))
                 self.replay.push(
                     env_states[i], action, None if done else nxt, rew
                 )
@@ -225,27 +271,42 @@ class Trainer:
                     ep_rewards[i], ep_actions[i] = [], []
                     env_states[i] = env.reset()
                     self.state.episode += 1
-                    if self.state.episode % 5 == 0:
+                    # Artifact cadence: the reference writes + checkpoints
+                    # every episode (airfoil_dqn.py:500-503), which is O(n)
+                    # per write and a full param readback per save — at
+                    # training scale that dominates the step loop.  Batch
+                    # both on an episode interval (plus once at exit).
+                    if self.state.episode % self.plot_every == 0:
                         self.metrics.plot()
-                    self.metrics.write()
-                    self.ckpt.save(
-                        self.state.episode,
-                        self.dqn,
-                        {
-                            "global_step": self.state.global_step,
-                            "episode": self.state.episode,
-                        },
-                    )
+                    if self.state.episode % self.write_every == 0:
+                        self.metrics.write()
+                    if self.state.episode % self.checkpoint_every == 0:
+                        self._save_checkpoint()
                     if self.state.episode >= num_episodes:
                         break
                 if max_steps is not None and self.state.global_step >= max_steps:
                     self.metrics.write()
+                    self._save_checkpoint()
                     return self.summary(t_start)
             else:
                 continue
             break
         self.metrics.write()
+        self._save_checkpoint()
         return self.summary(t_start)
+
+    def _save_checkpoint(self):
+        if self.state.episode == self._last_saved_episode:
+            return
+        self._last_saved_episode = self.state.episode
+        self.ckpt.save(
+            self.state.episode,
+            self.dqn,
+            {
+                "global_step": self.state.global_step,
+                "episode": self.state.episode,
+            },
+        )
 
     def summary(self, t_start: float) -> dict:
         return {

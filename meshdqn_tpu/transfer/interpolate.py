@@ -174,6 +174,14 @@ def _step_products(src: SourceField, u_all, p_all, pts, probe_u, probe_p, widx):
     return uv, pv, small
 
 
+# Batched-over-envs variants: the source field/snapshots are shared; the
+# per-env padded inputs get a leading batch axis.  Batch size is padded to
+# the trainer's num_parallel so the module compiles once.
+_step_products_batched = jax.jit(
+    jax.vmap(_step_products, in_axes=(None, None, None, 0, 0, 0, 0))
+)
+
+
 @jax.jit
 def _gather_window(uv, pv, widx):
     """Window-feature gather from device-resident interpolants (the
@@ -183,6 +191,9 @@ def _gather_window(uv, pv, widx):
     return jnp.concatenate(
         [vel_w.reshape(-1).astype(jnp.float32), p_w.reshape(-1).astype(jnp.float32)]
     )
+
+
+_gather_window_batched = jax.jit(jax.vmap(_gather_window))
 
 
 # ----------------------------------------------------------------------
@@ -252,6 +263,47 @@ class SnapshotTransfer:
         p_new = np.asarray(pv)[:, :n1]
         return SnapshotSet(u=u_new, p=p_new)
 
+    def step_inputs(self, target: TriMesh, window: np.ndarray, dprobe, lprobe):
+        """Host-side inputs for the fused per-removal device pass — split
+        out so a trainer can STACK many envs' inputs into one batched call
+        (one tunnel round-trip for the whole sweep)."""
+        Vs = P2Space(target)
+        n2, n1 = Vs.ndofs, target.num_vertices
+        P = max(self._budget2, n2)
+        pts = np.zeros((P, 2))
+        pts[:n2] = Vs.dof_coords()
+
+        probe_u = np.zeros((2, 2, P))
+        probe_p = np.zeros((2, P))
+        for f, pr in enumerate((dprobe, lprobe)):
+            probe_u[f, 0, :n2] = pr.d_u[:n2]
+            probe_u[f, 1, :n2] = pr.d_u[n2:]
+            probe_p[f, :n1] = pr.d_p
+
+        W = self.window_budget
+        widx = np.zeros(W, dtype=np.int32)
+        widx[: len(window)] = window
+        return {
+            "pts": pts,
+            "probe_u": probe_u,
+            "probe_p": probe_p,
+            "widx": widx,
+            "n1": n1,
+            "n2": n2,
+            "k": len(window),
+        }
+
+    def _parse_small(self, small: np.ndarray, k: int):
+        S = len(self.u_src)
+        W = self.window_budget
+        finite = bool(small[0])
+        drags = small[1 : 1 + S].astype(np.float64)
+        lifts = small[1 + S : 1 + 2 * S].astype(np.float64)
+        off = 1 + 2 * S
+        vel_w = small[off : off + S * W * 2].reshape(S, W, 2)[:, :k]
+        p_w = small[off + S * W * 2 :].reshape(S, W)[:, :k]
+        return finite, drags, lifts, vel_w, p_w
+
     def step_products(self, target: TriMesh, window: np.ndarray, dprobe, lprobe):
         """Fused per-removal device pass: interpolate + probes + window
         features, ONE small host readback (see _step_products).
@@ -260,42 +312,75 @@ class SnapshotTransfer:
         p_w (S,k)) where dev_snaps = (uv, pv, n1, n2) stays on device,
         padded; k = len(window).
         """
-        Vs = P2Space(target)
-        n2, n1 = Vs.ndofs, target.num_vertices
-        P = max(self._budget2, n2)
-        pts = self._padded(Vs.dof_coords(), self._budget2)
+        inp = self.step_inputs(target, window, dprobe, lprobe)
+        return self.step_products_from_inputs(inp)
 
-        Ns_t = n2
-        probe_u = np.zeros((2, 2, P))
-        probe_p = np.zeros((2, P))
-        for f, pr in enumerate((dprobe, lprobe)):
-            probe_u[f, 0, :Ns_t] = pr.d_u[:Ns_t]
-            probe_u[f, 1, :Ns_t] = pr.d_u[Ns_t:]
-            probe_p[f, :n1] = pr.d_p
-
-        W = self.window_budget
-        k = len(window)
-        widx = np.zeros(W, dtype=np.int32)
-        widx[:k] = window
-        S = len(self.u_src)
-
+    def step_products_from_inputs(self, inp: dict):
+        """Solo fused pass from prepared step_inputs (same contract as
+        step_products)."""
         uv, pv, small = _step_products(
             self.src,
             self.u_src,
             self.p_src,
-            pts,
-            jnp.asarray(probe_u, jnp.float64),
-            jnp.asarray(probe_p, jnp.float64),
-            jnp.asarray(widx),
+            jnp.asarray(inp["pts"]),
+            jnp.asarray(inp["probe_u"], jnp.float64),
+            jnp.asarray(inp["probe_p"], jnp.float64),
+            jnp.asarray(inp["widx"]),
         )
         small = np.asarray(small)  # the ONE readback
-        finite = bool(small[0])
-        drags = small[1 : 1 + S].astype(np.float64)
-        lifts = small[1 + S : 1 + 2 * S].astype(np.float64)
-        off = 1 + 2 * S
-        vel_w = small[off : off + S * W * 2].reshape(S, W, 2)[:, :k]
-        p_w = small[off + S * W * 2 :].reshape(S, W)[:, :k]
-        return (uv, pv, n1, n2), finite, drags, lifts, vel_w, p_w
+        parsed = self._parse_small(small, inp["k"])
+        return (uv, pv, inp["n1"], inp["n2"]), *parsed
+
+    def run_products_batched(self, inputs: list[dict], pad_to: int):
+        """Run MANY envs' fused passes as one vmapped call padded to a
+        static batch size (so the sweep never recompiles as the number of
+        removing envs varies), with ONE host readback for all of them.
+
+        Returns a list of (dev_snaps, finite, drags, lifts, vel_w, p_w) in
+        input order.
+        """
+        assert inputs and len(inputs) <= pad_to
+        padded = inputs + [inputs[0]] * (pad_to - len(inputs))
+        stk = lambda key, dt=None: jnp.asarray(
+            np.stack([i[key] for i in padded]), dt
+        )
+        uv, pv, small = _step_products_batched(
+            self.src,
+            self.u_src,
+            self.p_src,
+            stk("pts"),
+            stk("probe_u", jnp.float64),
+            stk("probe_p", jnp.float64),
+            stk("widx"),
+        )
+        smalls = np.asarray(small)  # ONE readback for the whole sweep
+        out = []
+        for b, inp in enumerate(inputs):
+            dev = (uv[b], pv[b], inp["n1"], inp["n2"])
+            out.append((dev, *self._parse_small(smalls[b], inp["k"])))
+        return out
+
+    def gather_window_batched(self, items: list[tuple], pad_to: int | None = None):
+        """Batched window-feature gather for window-shift steps:
+        items = [(dev_snaps, window), ...] -> [(vel_w, p_w), ...].
+        Padded to a static batch size so the module compiles once."""
+        pad_to = pad_to or len(items)
+        padded = items + [items[0]] * (pad_to - len(items))
+        uv = jnp.stack([d[0] for d, _ in padded])
+        pv = jnp.stack([d[1] for d, _ in padded])
+        W = self.window_budget
+        widx = np.zeros((pad_to, W), dtype=np.int32)
+        for b, (_, window) in enumerate(padded):
+            widx[b, : len(window)] = window
+        smalls = np.asarray(_gather_window_batched(uv, pv, jnp.asarray(widx)))
+        S = len(self.u_src)
+        out = []
+        for b, (_, window) in enumerate(items):
+            k = len(window)
+            vel_w = smalls[b, : S * W * 2].reshape(S, W, 2)[:, :k]
+            p_w = smalls[b, S * W * 2 :].reshape(S, W)[:, :k]
+            out.append((vel_w, p_w))
+        return out
 
     def gather_window(self, dev_snaps, window: np.ndarray):
         """Window features from device-resident interpolants (window-shift

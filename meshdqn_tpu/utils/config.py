@@ -57,6 +57,11 @@ class AgentConfig:
     # intended -0.5 terminal reward.
     terminal_penalty: bool = False
     edge_budget: int = 1152  # padded directed-edge capacity of state graphs
+    # Artifact cadence in episodes (the reference writes metrics + a full
+    # checkpoint EVERY episode, airfoil_dqn.py:500-503 — O(n) writes and a
+    # whole-params readback per save, which dominates at training scale).
+    write_every: int = 25
+    checkpoint_every: int = 25
 
 
 @dataclass

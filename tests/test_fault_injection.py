@@ -60,10 +60,12 @@ class TestEnvFaults:
         env.reset()
         coords_before = env.mesh.coords.copy()
 
-        def nan_products(target, window, dprobe, lprobe):
+        def nan_products(inputs):
             return None, False, None, None, None, None
 
-        monkeypatch.setattr(env.transfer, "step_products", nan_products)
+        monkeypatch.setattr(
+            env.transfer, "step_products_from_inputs", nan_products
+        )
         state, rew, done, info = env.step(0)
         assert rew == -1.0
         assert done and info.broken
@@ -76,7 +78,7 @@ class TestEnvFaults:
         def boom(*a, **k):
             raise RuntimeError("interp broke")
 
-        monkeypatch.setattr(env.transfer, "step_products", boom)
+        monkeypatch.setattr(env.transfer, "step_products_from_inputs", boom)
         state, rew, done, info = env.step(0)
         assert rew == -1.0
         assert done and info.broken
@@ -87,13 +89,13 @@ class TestEnvFaults:
         # reward clamped to -1, "SAMPLING BROKE" terminal
         # (Env2DAirfoil.py:372-375, 395-397).
         env.reset()
-        real = env.transfer.step_products
+        real = env.transfer.step_products_from_inputs
 
         def nan_drags(*a, **k):
             dev, finite, drags, lifts, vel_w, p_w = real(*a, **k)
             return dev, finite, np.full_like(drags, np.nan), lifts, vel_w, p_w
 
-        monkeypatch.setattr(env.transfer, "step_products", nan_drags)
+        monkeypatch.setattr(env.transfer, "step_products_from_inputs", nan_drags)
         state, rew, done, info = env.step(0)
         assert rew == -1.0
         assert done and info.broken
