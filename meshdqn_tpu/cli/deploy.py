@@ -23,6 +23,13 @@ def main(argv=None):
     ap.add_argument("--use-best", action="store_true")
     ap.add_argument("--confirm", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument(
+        "--surrogate",
+        action="store_true",
+        help="use a pretrained AirfoilGCNN drag surrogate "
+        "(SURROGATE_MODEL, deploy_dqn.py:19)",
+    )
+    ap.add_argument("--surrogate-path", default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--precision",
@@ -80,6 +87,8 @@ def main(argv=None):
         end_plots=not args.no_end_plots,
         use_best=args.use_best,
         confirm=args.confirm,
+        surrogate_model=args.surrogate,
+        surrogate_path=args.surrogate_path,
     )
     deployer = Deployer(cfg, gt, dqn.params1, options=opts)
     # Provenance: record which checkpoint produced this deployment (the

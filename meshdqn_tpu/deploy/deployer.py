@@ -44,6 +44,15 @@ class DeployOptions:
     use_best: bool = False
     confirm: bool = False
     output_dir: str = "deployed"
+    # SURROGATE_MODEL (deploy_dqn.py:19, 95-100, 193, 309): estimate drag
+    # per step with a pretrained AirfoilGCNN instead of relying only on the
+    # probe re-integration.  NOTE: the committed reference loads the model
+    # onto env.model but never evaluates it (the env has no surrogate path —
+    # a dead flag); this implements the INTENDED behaviour and emits a
+    # {obj}_surrogate_drag_trajectory.npy [verts, pred] alongside the
+    # interpolated trajectory.
+    surrogate_model: bool = False
+    surrogate_path: str | None = None  # default: <run>/<prefix>surrogate_model.npz
 
 
 @dataclass
@@ -62,6 +71,7 @@ class DeployResult:
     final_drag: float = float("nan")
     final_sim_s: float = float("nan")
     drag_error_pct: float = float("nan")
+    surrogate_drags: list = field(default_factory=list)
 
 
 def run_sim(mesh: TriMesh, config: Config):
@@ -152,6 +162,30 @@ class Deployer:
         # before the loop, deploy_dqn.py:299-313).
         env.calculate_reward()
 
+        surrogate = None
+        surrogate_drags: list[float] = []
+        if opts.surrogate_model:
+            import shutil
+
+            from ..models.surrogate_train import load_surrogate, predict_drag
+
+            base = os.path.join(
+                self.config.save_dir, self.config.prefix.rstrip("_")
+            )
+            spath = opts.surrogate_path or os.path.join(
+                base, self.config.prefix + "surrogate_model.npz"
+            )
+            params_s, topk_s = load_surrogate(spath)
+            surrogate = lambda g: predict_drag(params_s, g, topk=topk_s)
+            # Provenance copy into deployed/ (deploy_dqn.py:193).
+            shutil.copy(
+                spath,
+                os.path.join(
+                    self.out_dir, f"{self.obj}_surrogate_model.npz"
+                ),
+            )
+            surrogate_drags.append(surrogate(state))
+
         best_actions = self._best_episode_actions() if opts.use_best else None
 
         est_vertices = [env.mesh.num_vertices]
@@ -208,6 +242,21 @@ class Deployer:
                 est_drags.append(env.new_drags.copy())
                 est_lifts.append(env.new_lifts.copy())
             est_vertices.append(env.mesh.num_vertices)
+            if surrogate is not None:
+                surrogate_drags.append(surrogate(state))
+                np.save(
+                    os.path.join(
+                        self.out_dir,
+                        f"{self.obj}_surrogate_drag_trajectory.npy",
+                    ),
+                    np.stack(
+                        [
+                            np.asarray(est_vertices, dtype=np.float64),
+                            np.asarray(surrogate_drags, dtype=np.float64),
+                        ],
+                        axis=1,
+                    ),
+                )
             actions_taken.append(action if removing else None)
 
             if opts.complete_traj and removing and info.removed == 0:
@@ -276,6 +325,7 @@ class Deployer:
             final_drag=new_drag,
             final_sim_s=final_sim_s,
             drag_error_pct=err_pct,
+            surrogate_drags=surrogate_drags,
         )
         print(f"INITIAL NUMBER OF VERTICES: {result.initial_vertices}")
         print(f"NUMBER OF VERTICES REMOVED: {len(removed_coords)}")

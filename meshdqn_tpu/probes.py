@@ -101,3 +101,75 @@ def drag_probe(mesh, markers, mu, tags=(AIRFOIL,)) -> ForceProbe:
 
 def lift_probe(mesh, markers, mu, tags=(AIRFOIL,)) -> ForceProbe:
     return assemble_force_probe(mesh, markers, mu, (0.0, 1.0), tags)
+
+
+@dataclass
+class PenetratedForceProbe:
+    """Force over a PENETRATED surface (reference probes.py:64-100):
+
+        F_e(u, p) = int_{ds(tags)} ( -rho (u.n) u + sigma(u, p).n ) . e ds
+
+    = the boundary-stress functional (linear; `base`) minus the momentum
+    flux rho * int (u.n)(u.e) ds, which is QUADRATIC in u and therefore
+    evaluated from a per-facet quadrature tabulation instead of a vector.
+    """
+
+    base: ForceProbe
+    rho: float
+    e: np.ndarray  # (2,)
+    dofs: np.ndarray  # (F, 6) scalar P2 cell dofs of each tagged facet's cell
+    phi: np.ndarray  # (F, K, 6) P2 values at facet quadrature points
+    n: np.ndarray  # (F, 2) outward normals
+    W: np.ndarray  # (F, K) quadrature weights * facet lengths
+    ns: int  # scalar P2 dof count (block offset of the y component)
+
+    def sample(self, u, p) -> float:
+        u = np.asarray(u)
+        ux = np.einsum("fka,fa->fk", self.phi, u[self.dofs])
+        uy = np.einsum("fka,fa->fk", self.phi, u[self.ns + self.dofs])
+        un = ux * self.n[:, None, 0] + uy * self.n[:, None, 1]
+        ue = ux * self.e[0] + uy * self.e[1]
+        flux = self.rho * float(np.sum(self.W * un * ue))
+        return self.base.sample(u, p) - flux
+
+
+def assemble_penetrated_probe(
+    mesh: TriMesh,
+    markers: BoundaryMarkers,
+    mu: float,
+    rho: float,
+    direction: tuple,
+    tags: tuple = (AIRFOIL,),
+) -> PenetratedForceProbe:
+    from .fem.reference import p2_basis
+
+    base = assemble_force_probe(mesh, markers, mu, direction, tags)
+    sel = np.isin(markers.markers, tags)
+    fc = mesh.facet_cells[sel]
+    fl = mesh.facet_local[sel]
+    n = mesh.facet_normals()[sel]
+    L = mesh.facet_lengths()[sel]
+    t1d, w1d = gauss_legendre_1d(4)  # quadratic integrand of P2 -> degree 4
+    K = len(t1d)
+    F = len(fc)
+    ref_pts = np.stack([facet_points(l, t1d) for l in range(3)])
+    flat = ref_pts[fl].reshape(-1, 2)
+    Vs = VectorP2Space(mesh).scalar
+    return PenetratedForceProbe(
+        base=base,
+        rho=rho,
+        e=np.asarray(direction, dtype=np.float64),
+        dofs=Vs.cell_dofs()[fc],
+        phi=p2_basis(flat).reshape(F, K, 6),
+        n=n,
+        W=w1d[None, :] * L[:, None],
+        ns=Vs.ndofs,
+    )
+
+
+def penetrated_drag_probe(mesh, markers, mu, rho, tags=(AIRFOIL,)):
+    return assemble_penetrated_probe(mesh, markers, mu, rho, (1.0, 0.0), tags)
+
+
+def penetrated_lift_probe(mesh, markers, mu, rho, tags=(AIRFOIL,)):
+    return assemble_penetrated_probe(mesh, markers, mu, rho, (0.0, 1.0), tags)

@@ -150,3 +150,67 @@ class TestDeployCompleteTraj:
         # (the whole point of the method).
         rel = np.abs(traj[-1, 1 + S - 1] - traj[0, 1 + S - 1]) / abs(traj[0, 1 + S - 1])
         assert rel < 0.05
+
+
+class TestSurrogate:
+    def test_train_save_load_deploy_surrogate(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """End-to-end SURROGATE_MODEL path (deploy_dqn.py:19, 95-100, 193,
+        309 intended semantics): train a tiny AirfoilGCNN on rollout pairs,
+        save, deploy with surrogate=True, check the surrogate trajectory
+        artifact."""
+        import copy
+
+        from meshdqn_tpu.models.surrogate_train import (
+            load_surrogate,
+            save_surrogate,
+            train_surrogate,
+        )
+
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "ys930_results_"
+
+        # Collect a few (state, drag) pairs from a random rollout.
+        env = AirfoilEnv(cfg, ground_truth=ground_truth)
+        rng = np.random.default_rng(0)
+        states, labels = [], []
+        state = env.reset()
+        for _ in range(8):
+            states.append(state)
+            labels.append(float(np.asarray(env.new_drags)[-1]))
+            state, _, done, _ = env.step(int(rng.integers(0, 180)))
+            if done:
+                state = env.reset()
+        graphs = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *states)
+        params, report = train_surrogate(
+            graphs, np.asarray(labels), conv_width=8, epochs=3, batch_size=4
+        )
+        assert np.isfinite(report["train_mse"])
+
+        run_dir = tmp_path / "ys930_results"
+        run_dir.mkdir(exist_ok=True)
+        spath = run_dir / "ys930_results_surrogate_model.npz"
+        save_surrogate(str(spath), params, conv_width=8, topk=0.5)
+        p2, topk = load_surrogate(str(spath))
+        assert topk == 0.5
+
+        n_feat = 2 + 3 * (cfg.agent.solver_steps // cfg.agent.save_steps)
+        params1 = init_params(
+            jax.random.PRNGKey(0), n_feat, cfg.agent.N_closest + 1,
+            conv_width=32, topk=0.1,
+        )
+        opts = DeployOptions(
+            complete_traj=False, end_plots=False, surrogate_model=True
+        )
+        dep = Deployer(cfg, ground_truth, params1, options=opts, topk=0.1)
+        res = dep.run(max_steps=3)
+        out = run_dir / "deployed"
+        traj = np.load(out / "ys930_results_surrogate_drag_trajectory.npy")
+        assert traj.shape[1] == 2
+        assert np.isfinite(traj).all()
+        assert len(res.surrogate_drags) == len(traj) + 0 or len(
+            res.surrogate_drags
+        ) >= len(traj)
+        assert os.path.exists(out / "ys930_results_surrogate_model.npz")

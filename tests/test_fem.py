@@ -253,3 +253,78 @@ class TestBCEquivalence:
 
         assert np.allclose(x_row, x_sym, atol=1e-10)
         assert np.allclose(x_sym[mask], g[mask], atol=1e-12)
+
+
+class TestPenetratedProbes:
+    """Penetrated-surface force probes (reference probes.py:64-100):
+    F = int (-rho (u.n) u + sigma.n) . e ds — the momentum-flux term is
+    quadratic in u; validate it against an independent per-edge Gauss
+    quadrature of the known affine field."""
+
+    def _mesh(self):
+        # A square strictly inside the channel box so ALL its boundary
+        # facets satisfy the reference's airfoil predicate.
+        from tests.meshes import unit_square_mesh
+
+        m = unit_square_mesh(4)
+        coords = m.coords.copy()
+        coords[:, 0] = 0.8 * coords[:, 0]           # x in [0, 0.8]
+        coords[:, 1] = 0.8 * coords[:, 1] - 0.4     # y in [-0.4, 0.4]
+        return m.with_coords(coords)
+
+    def test_momentum_flux_vs_quadrature_oracle(self):
+        import numpy as np
+
+        from meshdqn_tpu.fem.spaces import P1Space, VectorP2Space
+        from meshdqn_tpu.mesh import mark_boundaries
+        from meshdqn_tpu.probes import drag_probe, penetrated_drag_probe
+
+        mesh = self._mesh()
+        markers = mark_boundaries(mesh)
+        mu, rho = 1e-3, 1.3
+
+        def uf(x, y):  # affine -> exactly representable in P2
+            return np.stack([0.3 + 1.1 * x - 0.4 * y, -0.2 + 0.5 * x + 0.9 * y], -1)
+
+        Vs = VectorP2Space(mesh).scalar
+        pts = Vs.dof_coords()
+        vals = uf(pts[:, 0], pts[:, 1])
+        u = np.concatenate([vals[:, 0], vals[:, 1]])
+        p = 0.7 * np.ones(P1Space(mesh).ndofs)
+
+        pen = penetrated_drag_probe(mesh, markers, mu, rho)
+        base = drag_probe(mesh, markers, mu)
+
+        # Independent oracle: 5-pt Gauss per boundary facet on the exact u.
+        xg, wg = np.polynomial.legendre.leggauss(5)
+        flux = 0.0
+        normals = mesh.facet_normals()
+        for f in range(len(mesh.boundary_facets)):
+            a, b = mesh.coords[mesh.boundary_facets[f]]
+            n = normals[f]
+            L = np.linalg.norm(b - a)
+            for t, w in zip(0.5 * (xg + 1.0), 0.5 * wg * L):
+                x, y = a + t * (b - a)
+                uv = uf(x, y)
+                flux += w * (uv @ n) * uv[0]  # e = (1, 0)
+        expected = base.sample(u, p) - rho * flux
+        got = pen.sample(u, p)
+        assert abs(got - expected) < 1e-12 * max(1.0, abs(expected))
+
+    def test_flux_vanishes_for_constant_field(self):
+        # For u = const, int (u.n)(u.e) ds over a CLOSED boundary is
+        # (u.e) u . oint n ds = 0, so penetrated == plain probe.
+        import numpy as np
+
+        from meshdqn_tpu.fem.spaces import P1Space, VectorP2Space
+        from meshdqn_tpu.mesh import mark_boundaries
+        from meshdqn_tpu.probes import lift_probe, penetrated_lift_probe
+
+        mesh = self._mesh()
+        markers = mark_boundaries(mesh)
+        ns = VectorP2Space(mesh).scalar.ndofs
+        u = np.concatenate([np.full(ns, 1.7), np.full(ns, -0.6)])
+        p = np.zeros(P1Space(mesh).ndofs)
+        pen = penetrated_lift_probe(mesh, markers, 1e-3, 1.0)
+        plain = lift_probe(mesh, markers, 1e-3)
+        assert abs(pen.sample(u, p) - plain.sample(u, p)) < 1e-13
