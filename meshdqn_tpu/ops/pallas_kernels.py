@@ -98,3 +98,138 @@ def ell_matvec_pallas(
         **kwargs,
     )(x, cols, vals)
     return y[:R]
+
+
+# ---------------------------------------------------------------------------
+# Blocked dense matvec — the fused-IPCS hot op (flow_solver.py:362-396's
+# back-solves become constant dense operators applied every step).
+#
+# The step is HBM-bandwidth-bound: each (2Ns)^2 f32 operator is ~174 MB/step
+# of streaming at ys930 size, an order more than every vector combined.  The
+# kernel pins the dof vector(s) in VMEM and streams the matrix through the
+# grid in row blocks, one MXU dot per block — no padding copies, no
+# intermediate HBM round-trips.
+#
+# `matvec_dual_pallas` applies ONE streamed matrix to a compensated
+# (x_hi, x_lo) f32 pair: two MXU passes over the same VMEM-resident block,
+# so the extra precision costs no extra HBM traffic — the TPU-native
+# equivalent of carrying an f48 trajectory (the f32 fast path's dominant
+# error is velocity-state rounding drift, see solver/ipcs.py precision
+# notes).
+# ---------------------------------------------------------------------------
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mv_kernel(m_ref, x_ref, o_ref):
+    o_ref[:] = jax.lax.dot_general(
+        m_ref[:],
+        x_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mv_dual_kernel(m_ref, xhi_ref, xlo_ref, o_ref):
+    m = m_ref[:]
+    dims = (((1,), (0,)), ((), ()))
+    hi = jax.lax.dot_general(
+        m, xhi_ref[:], dims, precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    lo = jax.lax.dot_general(
+        m, xlo_ref[:], dims, precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = hi + lo
+
+
+def _row_block_imap(i):
+    # Under jax_enable_x64 (package-wide, for the f64 oracle paths) plain
+    # int index-map returns canonicalize to i64, which Mosaic rejects at
+    # lowering ("failed to legalize func.return (i32, i64)"); pin i32.
+    return (jnp.asarray(i, jnp.int32), jnp.int32(0))
+
+
+def _pinned_imap(i):
+    # whole-array block, same for every grid step (the default index map
+    # also canonicalizes to i64 under x64 — see _row_block_imap)
+    z = jnp.int32(0)
+    return (z, z)
+
+
+def _mv_specs(block_rows, n_cols, n_rhs, interpret):
+    mem = None if (interpret or _VMEM is None) else _VMEM
+    kw = {} if mem is None else {"memory_space": mem}
+    m_spec = pl.BlockSpec((block_rows, n_cols), _row_block_imap, **kw)
+    x_spec = pl.BlockSpec((n_cols, n_rhs), _pinned_imap, **kw)
+    o_spec = pl.BlockSpec((block_rows, n_rhs), _row_block_imap, **kw)
+    return m_spec, x_spec, o_spec
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def matvec_pallas(
+    m: jnp.ndarray,
+    x: jnp.ndarray,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = m @ x with x pinned in VMEM and m streamed in row blocks.
+
+    m: (R, N) f32; x: (N,) or (N, k) f32 (k small, e.g. the (Ns, 2)
+    velocity-component stack of the IPCS correction step).
+    """
+    squeeze = x.ndim == 1
+    x2 = x[:, None] if squeeze else x
+    R, N = m.shape
+    k = x2.shape[1]
+    nb = pl.cdiv(R, block_rows)
+    pad = nb * block_rows - R
+    mp = jnp.pad(m, ((0, pad), (0, 0))) if pad else m
+    m_spec, x_spec, o_spec = _mv_specs(block_rows, N, k, interpret)
+    y = pl.pallas_call(
+        _mv_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * block_rows, k), jnp.float32),
+        grid=(nb,),
+        in_specs=[m_spec, x_spec],
+        out_specs=o_spec,
+        interpret=interpret,
+    )(mp, x2)
+    y = y[:R]
+    return y[:, 0] if squeeze else y
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def matvec_dual_pallas(
+    m: jnp.ndarray,
+    x_hi: jnp.ndarray,
+    x_lo: jnp.ndarray,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = m @ x_hi + m @ x_lo, streaming m ONCE.
+
+    The two dots reuse the same VMEM-resident matrix block, so carrying the
+    compensated low word of the state costs MXU passes (free — the op is
+    bandwidth-bound) instead of a second 174 MB matrix stream.
+    """
+    squeeze = x_hi.ndim == 1
+    xh = x_hi[:, None] if squeeze else x_hi
+    xl = x_lo[:, None] if squeeze else x_lo
+    R, N = m.shape
+    k = xh.shape[1]
+    nb = pl.cdiv(R, block_rows)
+    pad = nb * block_rows - R
+    mp = jnp.pad(m, ((0, pad), (0, 0))) if pad else m
+    m_spec, x_spec, o_spec = _mv_specs(block_rows, N, k, interpret)
+    y = pl.pallas_call(
+        _mv_dual_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * block_rows, k), jnp.float32),
+        grid=(nb,),
+        in_specs=[m_spec, x_spec, x_spec],
+        out_specs=o_spec,
+        interpret=interpret,
+    )(mp, xh, xl)
+    y = y[:R]
+    return y[:, 0] if squeeze else y

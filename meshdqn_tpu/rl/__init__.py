@@ -8,8 +8,9 @@ from .dqn import (
     select_action,
     select_actions_batched,
     train_step,
+    train_step_many,
 )
-from .replay import ReplayBuffer, TransitionBatch
+from .replay import ReplayBuffer, TransitionBatch, stack_batches
 
 __all__ = [
     "DQNConfig",
@@ -21,6 +22,8 @@ __all__ = [
     "select_action",
     "select_actions_batched",
     "train_step",
+    "train_step_many",
     "ReplayBuffer",
+    "stack_batches",
     "TransitionBatch",
 ]

@@ -107,9 +107,7 @@ def dqn_loss(online_params, target_params, batch: TransitionBatch, cfg: DQNConfi
     return jnp.mean(optax.huber_loss(q_sa, target, delta=cfg.huber_delta))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def train_step(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
-    """One gradient application; returns (new_state, loss)."""
+def _train_step_impl(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
     opt = make_optimizer(cfg)
 
     def step_net(online, target, opt_state):
@@ -135,6 +133,31 @@ def train_step(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
         state.select,
     )
     return state._replace(num_grads=num_grads, select=select), loss
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
+    """One gradient application; returns (new_state, loss)."""
+    return _train_step_impl(state, batch, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step_many(state: DQNState, batches: TransitionBatch, cfg: DQNConfig):
+    """K sequential gradient applications as ONE device call.
+
+    `batches` leaves carry a leading K axis; a lax.scan over them is
+    arithmetically identical to K successive `train_step` calls (same
+    per-step cond/swap logic), but costs one host round-trip instead of K —
+    the trainer uses this to collapse the per-transition optimize calls of a
+    parallel-env sweep (reference: one DataWorker RPC per transition,
+    airfoil_dqn.py:315-340) into a single tunnel round-trip.
+    Returns (new_state, losses (K,)).
+    """
+
+    def body(s, b):
+        return _train_step_impl(s, b, cfg)
+
+    return jax.lax.scan(body, state, batches)
 
 
 @partial(jax.jit, static_argnames=("topk",))

@@ -73,6 +73,30 @@ class ReplayBuffer:
     def __len__(self):
         return self._size
 
+    def sample_np(self, batch_size: int, rng: np.random.Generator) -> TransitionBatch:
+        """Sample a batch as host NumPy arrays (no device transfer).
+
+        Used to draw several batches against successive buffer states and
+        ship them to the device as one stacked transfer (train_step_many)."""
+        idx = rng.choice(self._size, size=batch_size, replace=False)
+
+        def graph(slot):
+            return GraphState(
+                x=self._x[slot, idx],
+                edge_index=self._ei[slot, idx],
+                edge_attr=self._ea[slot, idx],
+                node_mask=self._nm[slot, idx],
+                edge_mask=self._em[slot, idx],
+            )
+
+        return TransitionBatch(
+            state=graph(0),
+            action=self._action[idx],
+            next_state=graph(1),
+            reward=self._reward[idx],
+            non_final=self._non_final[idx],
+        )
+
     def sample(self, batch_size: int, rng: np.random.Generator) -> TransitionBatch:
         idx = rng.choice(self._size, size=batch_size, replace=False)
         def graph(slot):
@@ -91,3 +115,12 @@ class ReplayBuffer:
             reward=jnp.asarray(self._reward[idx]),
             non_final=jnp.asarray(self._non_final[idx]),
         )
+
+
+def stack_batches(batches: list[TransitionBatch]) -> TransitionBatch:
+    """Stack K host batches into one (K, B, ...) device-ready TransitionBatch."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *batches
+    )

@@ -115,6 +115,7 @@ class Trainer:
         self.batch_size = opt.batch_size
         self.rng = np.random.default_rng(config.seed)
 
+        self._pending_batches: list = []
         self.metrics = MetricsRecorder(self.save_dir, config.prefix)
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpt"))
         self.state = TrainerState()
@@ -148,21 +149,56 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _optimize(self):
-        """One gradient step; returns the loss as an UNSYNCED device scalar
-        (MetricsRecorder batches the readbacks) or None until the buffer
-        holds a batch (airfoil_dqn.py:315-319)."""
+        """Queue one gradient step (airfoil_dqn.py:315-319 skip-until-batch).
+
+        The batch is SAMPLED now — against the buffer exactly as the
+        reference's per-transition DataWorker would see it — but the device
+        call is deferred: `_flush_optimize` scans all queued batches through
+        `train_step_many` in ONE tunnel round-trip per sweep, arithmetically
+        identical to sequential `train_step` calls."""
         if len(self.replay) < self.batch_size:
-            return None
-        batch = self.replay.sample(self.batch_size, self.rng)
+            return
+        self._pending_batches.append(
+            self.replay.sample_np(self.batch_size, self.rng)
+        )
+        if self.data_parallel:
+            # dp mode shards each batch over the device mesh; keep the
+            # per-batch call (the collective path is latency-tolerant in
+            # tests and K-scan sharding buys nothing on a virtual mesh).
+            self._flush_optimize()
+
+    def _flush_optimize(self):
+        if not self._pending_batches:
+            return
+        from ..rl import stack_batches, train_step_many
+
+        batches = self._pending_batches
+        self._pending_batches = []
         if self.data_parallel:
             from ..parallel import shard_batch
 
-            self.dqn, loss = self._dp_step(
-                self.dqn, shard_batch(self.mesh, batch)
-            )
+            import jax.tree_util as jtu
+
+            for b in batches:
+                dev = jtu.tree_map(jnp.asarray, b)
+                self.dqn, loss = self._dp_step(
+                    self.dqn, shard_batch(self.mesh, dev)
+                )
+                self.metrics.add_loss(loss)
+        elif len(batches) < len(self.envs):
+            # Warm-up partial sweep: odd K would cost a one-off scan
+            # compilation (~30 s on the remote compile service); per-batch
+            # steps reuse the single-step module instead.
+            for b in batches:
+                dev = jax.tree_util.tree_map(jnp.asarray, b)
+                self.dqn, loss = train_step(self.dqn, dev, self.dqn_cfg)
+                self.metrics.add_loss(loss)
         else:
-            self.dqn, loss = train_step(self.dqn, batch, self.dqn_cfg)
-        return loss
+            self.dqn, losses = train_step_many(
+                self.dqn, stack_batches(batches), self.dqn_cfg
+            )
+            for i in range(len(batches)):
+                self.metrics.add_loss(losses[i])
 
     # ------------------------------------------------------------------
     def train(self, num_episodes: int | None = None, max_steps: int | None = None):
@@ -262,9 +298,7 @@ class Trainer:
                 self.metrics.add_eps(eps_val)
                 self.state.global_step += 1
 
-                loss = self._optimize()
-                if loss is not None:
-                    self.metrics.add_loss(loss)
+                self._optimize()
 
                 if done:
                     self.metrics.add_episode(ep_rewards[i], ep_actions[i])
@@ -279,18 +313,23 @@ class Trainer:
                     if self.state.episode % self.plot_every == 0:
                         self.metrics.plot()
                     if self.state.episode % self.write_every == 0:
+                        self._flush_optimize()
                         self.metrics.write()
                     if self.state.episode % self.checkpoint_every == 0:
+                        self._flush_optimize()
                         self._save_checkpoint()
                     if self.state.episode >= num_episodes:
                         break
                 if max_steps is not None and self.state.global_step >= max_steps:
+                    self._flush_optimize()
                     self.metrics.write()
                     self._save_checkpoint()
                     return self.summary(t_start)
             else:
+                self._flush_optimize()
                 continue
             break
+        self._flush_optimize()
         self.metrics.write()
         self._save_checkpoint()
         return self.summary(t_start)

@@ -200,3 +200,58 @@ class TestSurrogateTraining:
         for _ in range(60):
             params, opt_state, loss = step(params, opt_state, batch, targets)
         assert float(loss) < 0.1 * l0
+
+
+class TestTrainStepMany:
+    def _setup(self):
+        p1 = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=3, topk=0.1)
+        buf = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        for i in range(20):
+            g = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            g2 = make_graph(10, 10, [(0, 1)], seed=i + 100, e_pad=16)
+            buf.push(g, i % 11, g2 if i % 3 else None, float(i) / 10)
+        return cfg, init_dqn(p1, p2, cfg), buf
+
+    def test_scan_matches_sequential(self):
+        """K scanned grad steps == K sequential train_step calls, bitwise.
+
+        This is what lets the trainer collapse a sweep's optimize calls
+        into one device round-trip without changing the learned weights."""
+        from meshdqn_tpu.rl import stack_batches, train_step_many
+
+        cfg, state0, buf = self._setup()
+        K = 7  # crosses a target_update boundary (3) mid-scan
+        rng = np.random.default_rng(42)
+        host_batches = [buf.sample_np(4, rng) for _ in range(K)]
+
+        seq = state0
+        seq_losses = []
+        for b in host_batches:
+            dev = jax.tree_util.tree_map(jnp.asarray, b)
+            seq, loss = train_step(seq, dev, cfg)
+            seq_losses.append(float(loss))
+
+        scanned, losses = train_step_many(state0, stack_batches(host_batches), cfg)
+
+        np.testing.assert_array_equal(np.asarray(losses), np.asarray(seq_losses))
+        assert int(scanned.num_grads) == int(seq.num_grads) == K
+        assert bool(scanned.select) == bool(seq.select)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(scanned.params1),
+            jax.tree_util.tree_leaves(seq.params1),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(scanned.params2),
+            jax.tree_util.tree_leaves(seq.params2),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sample_np_matches_sample(self):
+        _, _, buf = self._setup()
+        a = buf.sample_np(4, np.random.default_rng(7))
+        b = buf.sample(4, np.random.default_rng(7))
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -47,3 +47,45 @@ class TestPallasEllMatvec:
                               block_rows=64, interpret=True)
         )
         assert np.allclose(y, A @ x, atol=1e-5)
+
+
+class TestMatvecPallas:
+    """Blocked dense matvec kernels (interpret mode; the same kernels are
+    hardware-validated on v5e — see ops/pallas_kernels.py module notes and
+    docs/PALLAS.md for the measured numbers)."""
+
+    def _mx(self, R, N, seed=0):
+        rng = np.random.default_rng(seed)
+        return (
+            jnp.asarray(rng.standard_normal((R, N)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(N).astype(np.float32)),
+        )
+
+    def test_single_matches_dense(self):
+        from meshdqn_tpu.ops.pallas_kernels import matvec_pallas
+
+        M, x = self._mx(700, 500)
+        y = matvec_pallas(M, x, block_rows=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(M) @ np.asarray(x), rtol=2e-6, atol=1e-5
+        )
+
+    def test_multi_rhs(self):
+        from meshdqn_tpu.ops.pallas_kernels import matvec_pallas
+
+        rng = np.random.default_rng(3)
+        M, _ = self._mx(256, 384)
+        X = jnp.asarray(rng.standard_normal((384, 2)).astype(np.float32))
+        Y = matvec_pallas(M, X, block_rows=64, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(Y), np.asarray(M) @ np.asarray(X), rtol=2e-6, atol=1e-5
+        )
+
+    def test_dual_streams_both_words(self):
+        from meshdqn_tpu.ops.pallas_kernels import matvec_dual_pallas
+
+        M, x = self._mx(512, 512, seed=1)
+        lo = x * 3e-8
+        y = matvec_dual_pallas(M, x, lo, block_rows=128, interpret=True)
+        ref = np.asarray(M) @ np.asarray(x) + np.asarray(M) @ np.asarray(lo)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-6, atol=1e-5)
