@@ -60,6 +60,40 @@ class FusedOperators(NamedTuple):
     rho: jnp.ndarray
 
 
+class SplitLow(NamedTuple):
+    """Low limbs of the fused operators for the 'df32' step.
+
+    Each matrix limb is bfloat16: |lo| <= 2^-24 |hi| entrywise, and bf16's
+    8 mantissa bits on the limb put the representable operator error at
+    ~2.4e-10 relative — the f32 entry rounding that otherwise accumulates
+    as a SYSTEMATIC per-step bias (it is the same operator every step)
+    drops by ~250x, while the limb stream costs half an f32 matrix of HBM
+    traffic.  Vector limbs (k1/k2/k3) stay f32 (they are tiny)."""
+
+    F1u: jnp.ndarray
+    F1p: jnp.ndarray
+    A1Z: jnp.ndarray
+    k1: jnp.ndarray
+    F2p: jnp.ndarray
+    F2u: jnp.ndarray
+    k2: jnp.ndarray
+    F3s: jnp.ndarray
+    F3p: jnp.ndarray
+    k3: jnp.ndarray
+
+
+def _split_mat(x64):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _split_vec(x64):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
 def build_fused_host_f64(
     *,
     A1bc,
@@ -83,7 +117,8 @@ def build_fused_host_f64(
     drag_p,
     lift_u,
     lift_p,
-) -> FusedOperators:
+    split: bool = False,
+):
     """Compose the fused operators in f64 on the host, then cast to f32.
 
     Removes the f32 inversion/composition error from the operator ENTRIES
@@ -109,18 +144,22 @@ def build_fused_host_f64(
     Gd = G.toarray()
     F3px = -dt * (A3Zs @ Gd[:Ns])
     F3py = -dt * (A3Zs @ Gd[Ns:])
+    k1 = A1i @ t1
+    k2 = A2i @ t2
+    F3p = np.stack([F3px, F3py])
+    k3 = np.concatenate([A3si @ t3[:Ns], A3si @ t3[Ns:]])
     f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
-    return FusedOperators(
+    dev = FusedOperators(
         F1u=f32(F1u),
         F1p=f32(F1p),
         A1Z=f32(A1Z),
-        k1=f32(A1i @ t1),
+        k1=f32(k1),
         F2p=f32(F2p),
         F2u=f32(F2u),
-        k2=f32(A2i @ t2),
+        k2=f32(k2),
         F3s=f32(F3s),
-        F3p=f32(np.stack([F3px, F3py])),
-        k3=f32(np.concatenate([A3si @ t3[:Ns], A3si @ t3[Ns:]])),
+        F3p=f32(F3p),
+        k3=f32(k3),
         conv=conv,
         drag_u=f32(drag_u),
         drag_p=f32(drag_p),
@@ -128,6 +167,33 @@ def build_fused_host_f64(
         lift_p=f32(lift_p),
         rho=jnp.asarray(rho, jnp.float32),
     )
+    if not split:
+        return dev
+
+    def lo_mat(x64, hi):
+        return jnp.asarray(
+            (np.asarray(x64) - np.asarray(hi, np.float64)).astype(np.float32),
+            jnp.bfloat16,
+        )
+
+    def lo_vec(x64, hi):
+        return jnp.asarray(
+            (np.asarray(x64) - np.asarray(hi, np.float64)).astype(np.float32)
+        )
+
+    lo = SplitLow(
+        F1u=lo_mat(F1u, dev.F1u),
+        F1p=lo_mat(F1p, dev.F1p),
+        A1Z=lo_mat(A1Z, dev.A1Z),
+        k1=lo_vec(k1, dev.k1),
+        F2p=lo_mat(F2p, dev.F2p),
+        F2u=lo_mat(F2u, dev.F2u),
+        k2=lo_vec(k2, dev.k2),
+        F3s=lo_mat(F3s, dev.F3s),
+        F3p=lo_mat(F3p, dev.F3p),
+        k3=lo_vec(k3, dev.k3),
+    )
+    return dev, lo
 
 
 def _coo64(A):
@@ -169,9 +235,11 @@ def _refined_solve(A64, B64, iters):
     return X
 
 
-@partial(jax.jit, static_argnames=("n1", "npp", "iters"))
-def _compose_sys1(A_coo, R1_coo, P1m_coo, zu, t1, n1, npp, iters):
-    """Tentative-velocity system -> (F1u, F1p, A1Z, k1), one XLA module."""
+@partial(jax.jit, static_argnames=("n1", "npp", "iters", "split"))
+def _compose_sys1(A_coo, R1_coo, P1m_coo, zu, t1, n1, npp, iters, split=False):
+    """Tentative-velocity system -> (F1u, F1p, A1Z, k1), one XLA module.
+
+    split=True returns ((hi, lo), ...) limb pairs for the df32 step."""
     A64 = _dense64(A_coo, (n1, n1))
     B = jnp.concatenate(
         [
@@ -183,17 +251,20 @@ def _compose_sys1(A_coo, R1_coo, P1m_coo, zu, t1, n1, npp, iters):
         axis=1,
     )
     X = _refined_solve(A64, B, iters)
-    f32 = lambda a: a.astype(jnp.float32)
-    return (
-        f32(X[:, :n1]),
-        f32(X[:, n1 : n1 + npp]),
-        f32(X[:, n1 + npp : 2 * n1 + npp]),
-        f32(X[:, -1]),
+    blocks = (
+        X[:, :n1],
+        X[:, n1 : n1 + npp],
+        X[:, n1 + npp : 2 * n1 + npp],
+        X[:, -1],
     )
+    if split:
+        return tuple(_split_mat(b) for b in blocks[:3]) + (_split_vec(blocks[3]),)
+    f32 = lambda a: a.astype(jnp.float32)
+    return tuple(f32(b) for b in blocks)
 
 
-@partial(jax.jit, static_argnames=("npp", "n1", "iters"))
-def _compose_sys2(A_coo, Kp_coo, BT_coo, zp, t2, dt, npp, n1, iters):
+@partial(jax.jit, static_argnames=("npp", "n1", "iters", "split"))
+def _compose_sys2(A_coo, Kp_coo, BT_coo, zp, t2, dt, npp, n1, iters, split=False):
     """Pressure-Poisson system -> (F2p, F2u, k2)."""
     A64 = _dense64(A_coo, (npp, npp))
     B = jnp.concatenate(
@@ -205,16 +276,19 @@ def _compose_sys2(A_coo, Kp_coo, BT_coo, zp, t2, dt, npp, n1, iters):
         axis=1,
     )
     X = _refined_solve(A64, B, iters)
+    blocks = (X[:, :npp], -(1.0 / dt) * X[:, npp : npp + n1], X[:, -1])
+    if split:
+        return (
+            _split_mat(blocks[0]),
+            _split_mat(blocks[1]),
+            _split_vec(blocks[2]),
+        )
     f32 = lambda a: a.astype(jnp.float32)
-    return (
-        f32(X[:, :npp]),
-        f32(-(1.0 / dt) * X[:, npp : npp + n1]),
-        f32(X[:, -1]),
-    )
+    return tuple(f32(b) for b in blocks)
 
 
-@partial(jax.jit, static_argnames=("ns", "npp", "iters"))
-def _compose_sys3(A_coo, Ms_coo, G_coo, zs, t3x, t3y, dt, ns, npp, iters):
+@partial(jax.jit, static_argnames=("ns", "npp", "iters", "split"))
+def _compose_sys3(A_coo, Ms_coo, G_coo, zs, t3x, t3y, dt, ns, npp, iters, split=False):
     """Scalar-mass (velocity-correction) system -> (F3s, F3p, k3)."""
     A64 = _dense64(A_coo, (ns, ns))
     G64 = _dense64(G_coo, (2 * ns, npp))
@@ -229,12 +303,15 @@ def _compose_sys3(A_coo, Ms_coo, G_coo, zs, t3x, t3y, dt, ns, npp, iters):
         axis=1,
     )
     X = _refined_solve(A64, B, iters)
+    F3s64 = X[:, :ns]
+    F3p64 = jnp.stack(
+        [-dt * X[:, ns : ns + npp], -dt * X[:, ns + npp : ns + 2 * npp]]
+    )
+    k364 = jnp.concatenate([X[:, -2], X[:, -1]])
+    if split:
+        return _split_mat(F3s64), _split_mat(F3p64), _split_vec(k364)
     f32 = lambda a: a.astype(jnp.float32)
-    F3s = f32(X[:, :ns])
-    F3px = f32(-dt * X[:, ns : ns + npp])
-    F3py = f32(-dt * X[:, ns + npp : ns + 2 * npp])
-    k3 = f32(jnp.concatenate([X[:, -2], X[:, -1]]))
-    return F3s, jnp.stack([F3px, F3py]), k3
+    return f32(F3s64), f32(F3p64), f32(k364)
 
 
 def build_fused_refined(
@@ -260,7 +337,8 @@ def build_fused_refined(
     drag_p,
     lift_u,
     lift_p,
-) -> FusedOperators:
+    split: bool = False,
+):
     """Compose the fused operators ON DEVICE at f64-composition accuracy.
 
     Only the sparse COO operator data (a few MB) crosses the host link; each
@@ -278,17 +356,27 @@ def build_fused_refined(
 
     F1u, F1p, A1Z, k1 = _compose_sys1(
         _coo64(A1bc), _coo64(R1), _coo64(P1m), f64(z_u), f64(t1),
-        n1=n1, npp=npp, iters=3,
+        n1=n1, npp=npp, iters=3, split=split,
     )
     F2p, F2u, k2 = _compose_sys2(
         _coo64(A2bc), _coo64(Kp), _coo64(BT), f64(z_p), f64(t2),
-        jnp.asarray(dt, jnp.float64), npp=npp, n1=n1, iters=3,
+        jnp.asarray(dt, jnp.float64), npp=npp, n1=n1, iters=3, split=split,
     )
     F3s, F3p, k3 = _compose_sys3(
         _coo64(A3bc_s), _coo64(Ms), _coo64(G), f64(z_u[:Ns]),
         f64(t3[:Ns]), f64(t3[Ns:]), jnp.asarray(dt, jnp.float64),
-        ns=Ns, npp=npp, iters=3,
+        ns=Ns, npp=npp, iters=3, split=split,
     )
+
+    if split:
+        lo = SplitLow(
+            F1u=F1u[1], F1p=F1p[1], A1Z=A1Z[1], k1=k1[1],
+            F2p=F2p[1], F2u=F2u[1], k2=k2[1],
+            F3s=F3s[1], F3p=F3p[1], k3=k3[1],
+        )
+        F1u, F1p, A1Z, k1 = F1u[0], F1p[0], A1Z[0], k1[0]
+        F2p, F2u, k2 = F2p[0], F2u[0], k2[0]
+        F3s, F3p, k3 = F3s[0], F3p[0], k3[0]
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     out = FusedOperators(
@@ -309,6 +397,8 @@ def build_fused_refined(
         lift_p=f32(lift_p),
         rho=jnp.asarray(rho, jnp.float32),
     )
+    if split:
+        return jax.block_until_ready(out), jax.block_until_ready(lo)
     return jax.block_until_ready(out)
 
 
@@ -337,6 +427,64 @@ def fused_step(dev: FusedOperators, state):
     corr = jnp.einsum("cnp,p->nc", dev.F3p, dp, precision=HIGH)  # (Ns, 2)
     y = y + corr
     u_new = jnp.concatenate([y[:, 0], y[:, 1]]) + dev.k3
+
+    new_state = FlowState(u=u_new, p=p_new)
+    drag = dev.drag_u @ u_new + dev.drag_p @ p_new
+    lift = dev.lift_u @ u_new + dev.lift_p @ p_new
+    return new_state, (drag, lift)
+
+
+def fused_step_df32(dev: FusedOperators, lo: SplitLow, state):
+    """One IPCS step with split-operator (f32-hi + bf16-lo) matvecs.
+
+    The f32 fast path's dominant trajectory error is SYSTEMATIC: every
+    operator entry carries its fixed f32 rounding (~6e-8 rel), applied
+    identically on all 5000 steps — a linear-accumulating bias of ~3e-4,
+    which is exactly the observed f32 lift error (solver/ipcs.py precision
+    notes).  Streaming the bf16 low limb alongside and adding its (tiny)
+    matvec contribution removes that bias at +50% operator HBM traffic;
+    the remaining error is unbiased per-step f32 rounding, a ~1e-6-level
+    random walk.  Low-limb matmuls run as single native MXU bf16 passes.
+    """
+    from .ipcs import FlowState
+
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+
+    def mml(m_lo, x):
+        # bf16 x bf16 -> f32: one native MXU pass; the operand rounding is
+        # ~0.4% of a 2^-24-scale term, i.e. ~2.4e-10 of the hi operator.
+        return jnp.matmul(m_lo, x.astype(bf16), preferred_element_type=f32)
+
+    u_n, p_n = state
+    c = dev.conv(u_n)
+    u_hi = (
+        jnp.matmul(dev.F1u, u_n, precision=HIGH)
+        + jnp.matmul(dev.F1p, p_n, precision=HIGH)
+        - dev.rho * jnp.matmul(dev.A1Z, c, precision=HIGH)
+        + dev.k1
+    )
+    u_corr = mml(lo.F1u, u_n) + mml(lo.F1p, p_n) - dev.rho * mml(lo.A1Z, c) + lo.k1
+    u_star = u_hi + u_corr
+
+    p_hi = (
+        jnp.matmul(dev.F2p, p_n, precision=HIGH)
+        + jnp.matmul(dev.F2u, u_star, precision=HIGH)
+        + dev.k2
+    )
+    p_new = p_hi + (mml(lo.F2p, p_n) + mml(lo.F2u, u_star) + lo.k2)
+
+    dp = p_new - p_n
+    ns = dev.F3s.shape[0]
+    ustack = jnp.stack([u_star[:ns], u_star[ns:]], axis=1)  # (Ns, 2)
+    y = jnp.matmul(dev.F3s, ustack, precision=HIGH)
+    y = y + jnp.einsum("cnp,p->nc", dev.F3p, dp, precision=HIGH)
+    y_corr = jnp.matmul(lo.F3s, ustack.astype(bf16), preferred_element_type=f32)
+    y_corr = y_corr + jnp.einsum(
+        "cnp,p->nc", lo.F3p, dp.astype(bf16), preferred_element_type=f32
+    )
+    y = y + y_corr
+    u_new = jnp.concatenate([y[:, 0], y[:, 1]]) + dev.k3 + lo.k3
 
     new_state = FlowState(u=u_new, p=p_new)
     drag = dev.drag_u @ u_new + dev.drag_p @ p_new

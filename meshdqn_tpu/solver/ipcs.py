@@ -29,10 +29,27 @@ Precision modes:
             Requires 'highest' matmul precision (set in
             meshdqn_tpu/__init__) — default bf16 MXU passes cost 4x
             accuracy.
+  'df32'  — fused step with split operators: f32 hi + bf16 lo limb per
+            matrix, low-limb matvecs as native MXU bf16 passes
+            (solver/fused.py fused_step_df32).  Removes the operators'
+            systematic f32 entry rounding at ~1.3x the f32 step cost.
+            Measured 5000-step v5e gates: ah93w145 drag 1.2e-5 / lift
+            1.2e-4 (4.5x better lift than f32's 5.6e-4); ys930 drag
+            2.2e-5 / lift 1.6e-3 vs f32's 8.8e-4 — on ys930 the lift
+            error is NOT operator-bias-limited: it is phase noise of the
+            shedding oscillation seeded by per-step f32 rounding, which
+            operator splitting perturbs but does not reduce.  Offered as
+            an option, not the default.
   'mixed' — hybrid: velocity path f32, pressure path f64 with iterative
             refinement.  Measured accuracy tracks 'f32' (the error is f32
-            phase drift in the velocity path) at ~3x the step cost; kept as
-            the scaffold for a future double-f32 velocity path.
+            phase drift in the velocity path) at ~3x the step cost.
+
+  Phase-noise floor: an all-f64(-emulated) fused step (every matvec and
+  the convection kernel in XLA's emulated f64) reaches drag/lift rel err
+  8e-9 / 9e-9 at 500 steps on v5e — but at 76 ms/step (~60x f32), i.e.
+  XLA's f64 emulation does not use the MXU.  The f64 CPU oracle remains
+  the accuracy reference; the f32 fused path passes the reference's own
+  1e-3 accuracy threshold on both airfoils and is the throughput path.
 """
 from __future__ import annotations
 
@@ -154,6 +171,16 @@ def evolve_fused_n(dev, state: FlowState, n_steps: int):
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
+@partial(jax.jit, static_argnames=("n_steps",))
+def evolve_fused_df32_n(dev, lo, state: FlowState, n_steps: int):
+    from .fused import fused_step_df32
+
+    def body(s, _):
+        return fused_step_df32(dev, lo, s)
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
 @dataclass
 class IPCSConfig:
     mu: float = 1e-3
@@ -205,7 +232,7 @@ class IPCSSolver:
         # wdt: dtype of the (large) velocity path; pdt: of the (small,
         # ill-conditioned) pressure path.
         wdt = jnp.float64 if cfg.precision == "f64" else jnp.float32
-        pdt = jnp.float32 if cfg.precision == "f32" else jnp.float64
+        pdt = jnp.float64 if cfg.precision in ("f64", "mixed") else jnp.float32
         self.work_dtype = wdt
         self.pressure_dtype = pdt
         inv_dtype = np.float32 if cfg.precision in ("mixed", "f32") else np.float64
@@ -222,10 +249,15 @@ class IPCSSolver:
         # not a boundary vertex (SURVEY.md §2a known defects).
         self.removable = ~mesh.boundary_vertex_mask
 
-        self.fused = cfg.fused if cfg.fused is not None else cfg.precision == "f32"
+        self.fused = (
+            cfg.fused
+            if cfg.fused is not None
+            else cfg.precision in ("f32", "df32")
+        )
+        self.dev_lo = None
         if self.fused:
-            if cfg.precision != "f32":
-                raise ValueError("fused=True requires precision='f32'")
+            if cfg.precision not in ("f32", "df32"):
+                raise ValueError("fused=True requires precision 'f32' or 'df32'")
             from .fused import build_fused_host_f64, build_fused_refined
 
             self.work_dtype = jnp.float32
@@ -239,7 +271,7 @@ class IPCSSolver:
                 builder = build_fused_host_f64
             else:
                 builder = build_fused_refined
-            self.dev = builder(
+            built = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,
                 A3bc_s=A3bc_s,
@@ -261,7 +293,12 @@ class IPCSSolver:
                 drag_p=dprobe.d_p,
                 lift_u=lprobe.d_u,
                 lift_p=lprobe.d_p,
+                split=cfg.precision == "df32",
             )
+            if cfg.precision == "df32":
+                self.dev, self.dev_lo = built
+            else:
+                self.dev = built
             return
 
         on_device = cfg.invert_on_device
@@ -319,7 +356,12 @@ class IPCSSolver:
     def evolve(self, state: FlowState, n_steps: int = 1):
         """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
         if self.fused:
-            state, (drags, lifts) = evolve_fused_n(self.dev, state, n_steps)
+            if self.dev_lo is not None:
+                state, (drags, lifts) = evolve_fused_df32_n(
+                    self.dev, self.dev_lo, state, n_steps
+                )
+            else:
+                state, (drags, lifts) = evolve_fused_n(self.dev, state, n_steps)
         else:
             state, (drags, lifts) = evolve_n(
                 self.dev, state, n_steps, self.config.precision,
