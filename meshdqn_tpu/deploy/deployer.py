@@ -85,6 +85,7 @@ def run_sim(mesh: TriMesh, config: Config):
             dt=config.flow.dt,
             precision=config.flow.precision,
             refine_iters=config.flow.refine_iters,
+            pad_quantum=config.flow.pad_quantum,
         ),
     )
     out = solver.solve(config.agent.solver_steps, save_steps=config.agent.save_steps)

@@ -48,7 +48,11 @@ class ConvectionKernel:
         return cls(*children, ndofs)
 
     @classmethod
-    def build(cls, mesh: TriMesh, dtype=jnp.float64) -> "ConvectionKernel":
+    def build(
+        cls, mesh: TriMesh, dtype=jnp.float64, ns_pad: int | None = None
+    ) -> "ConvectionKernel":
+        """ns_pad: re-layout output dofs for a scalar block padded to ns_pad
+        (solver pad_quantum): y-component dofs shift from +Ns to +ns_pad."""
         pts, w = dunavant_6()
         phi = p2_basis(pts)
         gref = p2_grads(pts)
@@ -56,12 +60,20 @@ class ConvectionKernel:
         gphys = np.einsum("qad,cde->cqae", gref, Jinv)
         wdet = w[None, :] * absdet[:, None]
         V = VectorP2Space(mesh)
+        cell_dofs = np.asarray(V.cell_dofs())
+        ndofs = V.ndofs
+        if ns_pad is not None:
+            ns = ndofs // 2
+            cell_dofs = np.concatenate(
+                [cell_dofs[:, :6], cell_dofs[:, 6:] - ns + ns_pad], axis=1
+            )
+            ndofs = 2 * ns_pad
         return cls(
-            cell_dofs=jnp.asarray(V.cell_dofs()),
+            cell_dofs=jnp.asarray(cell_dofs),
             phi=jnp.asarray(phi, dtype=dtype),
             gphys=jnp.asarray(gphys, dtype=dtype),
             wdet=jnp.asarray(wdet, dtype=dtype),
-            ndofs=V.ndofs,
+            ndofs=ndofs,
         )
 
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:

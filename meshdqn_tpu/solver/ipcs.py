@@ -181,6 +181,30 @@ def evolve_fused_df32_n(dev, lo, state: FlowState, n_steps: int):
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
+
+
+def _quantize_embed(n_old: int, n_new: int):
+    """Zero-embedding E (n_new x n_old): E[i, i] = 1."""
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (np.ones(n_old), (np.arange(n_old), np.arange(n_old))),
+        shape=(n_new, n_old),
+    )
+
+
+def _pad_diag(n: int, start: int):
+    """Unit diagonal on rows [start, n) — keeps padded systems invertible
+    (inv is block-diagonal with an identity pad block; padded state entries
+    start at zero and stay zero through the whole recursion)."""
+    import scipy.sparse as sp
+
+    idx = np.arange(start, n)
+    return sp.csr_matrix(
+        (np.ones(len(idx)), (idx, idx)), shape=(n, n)
+    )
+
+
 @dataclass
 class IPCSConfig:
     mu: float = 1e-3
@@ -199,6 +223,13 @@ class IPCSConfig:
     # instead of f32 on device: ~45 s extra single-core setup, maximally
     # accurate f32 operator entries.
     compose_on_host: bool = False
+    # Quantize the fused systems' dof counts up to multiples of pad_quantum
+    # (velocity-scalar block; pressure uses pad_quantum//4, min 32) by
+    # zero-embedding + unit pad diagonal — EXACT, and collapses the
+    # per-mesh-shape compile of the compose/step modules onto shared cache
+    # entries.  Resolution sweeps and per-removal deploy rebuilds hit a
+    # handful of shape buckets instead of one compile per mesh.
+    pad_quantum: int = 0
 
 
 class IPCSSolver:
@@ -240,6 +271,7 @@ class IPCSSolver:
         gu, gp = ops.u_bc_values, ops.p_bc_values
         zu = (~ops.u_bc_mask).astype(np.float64)
         zp = (~ops.p_bc_mask).astype(np.float64)
+        self._pad = None  # (Ns, nsq, npp, nppq) when pad_quantum is active
         dprobe = drag_probe(mesh, self.markers, cfg.mu)
         lprobe = lift_probe(mesh, self.markers, cfg.mu)
         self.drag = dprobe
@@ -262,6 +294,51 @@ class IPCSSolver:
 
             self.work_dtype = jnp.float32
             self.pressure_dtype = jnp.float32
+
+            # Inputs to the fused build (possibly shape-quantized below).
+            R1sp = ops.R1
+            P1msp = (ops.B - ops.Bn).tocsr()
+            Kpsp = ops.Kp
+            BTsp = ops.B.T.tocsr()
+            Mssp = Ms
+            Gsp = ops.G
+            t1v = gu - zu * (A1 @ gu)
+            t2v = gp - zp * (A2 @ gp)
+            t3v = gu - zu * (A3 @ gu)
+            du, dp_ = dprobe.d_u, dprobe.d_p
+            lu, lp_ = lprobe.d_u, lprobe.d_p
+            conv_ns_pad = None
+            if cfg.pad_quantum:
+                import scipy.sparse as sp
+
+                q = cfg.pad_quantum
+                qp = max(q // 4, 32)
+                npp = A2bc.shape[0]
+                nsq = -(-Ns // q) * q
+                nppq = -(-npp // qp) * qp
+                self._pad = (Ns, nsq, npp, nppq)
+                Es = _quantize_embed(Ns, nsq)
+                Eu = sp.block_diag((Es, Es)).tocsr()
+                Ep = _quantize_embed(npp, nppq)
+                pad_u = sp.block_diag(
+                    (_pad_diag(nsq, Ns), _pad_diag(nsq, Ns))
+                ).tocsr()
+                A1bc = (Eu @ A1bc @ Eu.T + pad_u).tocsr()
+                A2bc = (Ep @ A2bc @ Ep.T + _pad_diag(nppq, npp)).tocsr()
+                A3bc_s = (Es @ A3bc_s @ Es.T + _pad_diag(nsq, Ns)).tocsr()
+                R1sp = (Eu @ R1sp @ Eu.T).tocsr()
+                P1msp = (Eu @ P1msp @ Ep.T).tocsr()
+                Kpsp = (Ep @ Kpsp @ Ep.T).tocsr()
+                BTsp = (Ep @ BTsp @ Eu.T).tocsr()
+                Mssp = (Es @ Mssp @ Es.T).tocsr()
+                Gsp = (Eu @ Gsp @ Ep.T).tocsr()
+                zu, zp = Eu @ zu, Ep @ zp
+                t1v, t2v, t3v = Eu @ t1v, Ep @ t2v, Eu @ t3v
+                du, dp_ = Eu @ du, Ep @ dp_
+                lu, lp_ = Eu @ lu, Ep @ lp_
+                self.ndofs_u = 2 * nsq
+                self.ndofs_p = nppq
+                conv_ns_pad = nsq
             # Default: on-device composition with f64-residual iterative
             # refinement — matches the host-f64 operator entries to ~1e-12
             # rel at device speed.  On the CPU backend the f64 matmul
@@ -275,24 +352,26 @@ class IPCSSolver:
                 A1bc=A1bc,
                 A2bc=A2bc,
                 A3bc_s=A3bc_s,
-                R1=ops.R1,
-                P1m=(ops.B - ops.Bn).tocsr(),
-                Kp=ops.Kp,
-                BT=ops.B.T.tocsr(),
-                Ms=Ms,
-                G=ops.G,
+                R1=R1sp,
+                P1m=P1msp,
+                Kp=Kpsp,
+                BT=BTsp,
+                Ms=Mssp,
+                G=Gsp,
                 z_u=zu,
                 z_p=zp,
-                t1=gu - zu * (A1 @ gu),
-                t2=gp - zp * (A2 @ gp),
-                t3=gu - zu * (A3 @ gu),
+                t1=t1v,
+                t2=t2v,
+                t3=t3v,
                 dt=cfg.dt,
                 rho=cfg.rho,
-                conv=ConvectionKernel.build(mesh, dtype=jnp.float32),
-                drag_u=dprobe.d_u,
-                drag_p=dprobe.d_p,
-                lift_u=lprobe.d_u,
-                lift_p=lprobe.d_p,
+                conv=ConvectionKernel.build(
+                    mesh, dtype=jnp.float32, ns_pad=conv_ns_pad
+                ),
+                drag_u=du,
+                drag_p=dp_,
+                lift_u=lu,
+                lift_p=lp_,
                 split=cfg.precision == "df32",
             )
             if cfg.precision == "df32":
@@ -345,6 +424,18 @@ class IPCSSolver:
         )
 
     # ------------------------------------------------------------------
+    def unpad_u(self, u):
+        """Strip pad_quantum padding from a velocity dof vector."""
+        if self._pad is None:
+            return u
+        ns, nsq, _, _ = self._pad
+        return jnp.concatenate([u[:ns], u[nsq : nsq + ns]])
+
+    def unpad_p(self, p):
+        if self._pad is None:
+            return p
+        return p[: self._pad[2]]
+
     def initial_state(self) -> FlowState:
         """Zero initial condition, like the reference's fresh Functions
         (flow_solver.py:92-93)."""

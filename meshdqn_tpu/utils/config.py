@@ -26,8 +26,12 @@ class FlowConfig:
     solver_type: str = "lu"  # kept for schema parity; device solver ignores it
     smooth: bool = True
     # TPU-native additions
-    precision: str = "f64"  # 'f64' | 'mixed'
+    precision: str = "f64"  # 'f64' | 'f32' | 'df32' | 'mixed'
     refine_iters: int = 2
+    # Shape-quantized fused-operator padding (solver/ipcs.py pad_quantum):
+    # collapses per-mesh-shape compiles onto shared cache buckets.  Used by
+    # the deploy re-simulation path and resolution sweeps; 0 = off.
+    pad_quantum: int = 0
 
 
 @dataclass

@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--save-steps", type=int, default=1000)
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-meshes", action="store_true")
+    ap.add_argument(
+        "--pad-quantum", type=int, default=768,
+        help="shape-quantize fused systems so sweep rows share compiled "
+             "modules (0 = off; compile per mesh shape)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -82,6 +87,7 @@ def main(argv=None):
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
                 invert_on_device=backend == "tpu",
+                pad_quantum=args.pad_quantum if fused else 0,
             )
             try:
                 solver = IPCSSolver(mesh, cfg)

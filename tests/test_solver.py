@@ -131,3 +131,28 @@ class TestDf32:
         rel = abs(float(d64[-1]) - float(dd[-1])) / abs(float(d64[-1]))
         assert np.isfinite(np.asarray(dd)).all()
         assert rel < 5e-4
+
+
+class TestPadQuantum:
+    def test_padded_solver_matches_unpadded(self, ys930_mesh):
+        """Shape-quantized padding (zero embed + unit pad diagonal) is
+        mathematically exact: pad state entries stay zero and drag/lift
+        track the unpadded fused solve inside the f32 trajectory noise
+        band (the padded composition rounds differently in the last ulp)."""
+        s0 = IPCSSolver(ys930_mesh, IPCSConfig(precision="f32", fused=True))
+        sq = IPCSSolver(
+            ys930_mesh, IPCSConfig(precision="f32", fused=True, pad_quantum=512)
+        )
+        assert sq.ndofs_u % 1024 == 0 and sq.ndofs_u > s0.ndofs_u
+        _, d0, l0 = s0.evolve(s0.initial_state(), 200)
+        st, dq, lq = sq.evolve(sq.initial_state(), 200)
+        assert abs(float(d0[-1]) - float(dq[-1])) / abs(float(d0[-1])) < 1e-3
+        # padded dof blocks stay exactly zero through the recursion
+        ns, nsq, npp, nppq = sq._pad
+        u = np.asarray(st.u)
+        assert np.all(u[ns:nsq] == 0) and np.all(u[nsq + ns :] == 0)
+        assert np.all(np.asarray(st.p)[npp:] == 0)
+        # unpad round-trip has the true layout
+        uu = np.asarray(sq.unpad_u(st.u))
+        assert uu.shape == (s0.ndofs_u,)
+        np.testing.assert_array_equal(uu[:ns], u[:ns])
