@@ -115,3 +115,47 @@ class TestSmoothing:
         rough = TriMesh(coords=coords, cells=m.cells)
         sm = smooth(rough, 50)
         assert sm.min_cell_quality() > rough.min_cell_quality()
+
+
+class TestGeneratedMesh:
+    """Resolution-parameterized channel meshes (mesh/generate.py) — the
+    generator behind scripts/resolution_sweep.py's regenerated benchmark
+    CSVs (reference benchmark_results/*.csv, resolutions 0.05-0.3)."""
+
+    def test_generated_mesh_valid_and_marked(self, ys930_path):
+        from meshdqn_tpu.mesh import read_xdmf, mark_boundaries
+        from meshdqn_tpu.mesh.marking import airfoil_polyline
+        from meshdqn_tpu.mesh.generate import generate_channel_mesh
+
+        ring = airfoil_polyline(read_xdmf(ys930_path))
+        mesh = generate_channel_mesh(ring, 0.25)
+        # valid triangulation: positive areas, no orphan vertices
+        import numpy as np
+
+        tri = mesh.coords[mesh.cells]
+        areas = 0.5 * np.abs(
+            (tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
+            - (tri[:, 2, 0] - tri[:, 0, 0]) * (tri[:, 1, 1] - tri[:, 0, 1])
+        )
+        assert (areas > 1e-12).all()
+        assert np.unique(mesh.cells).size == mesh.num_vertices
+        # airfoil / inflow / outflow facets all present (hole carved,
+        # channel walls are tag 0 = WALLS)
+        from meshdqn_tpu.mesh.marking import AIRFOIL, INFLOW, OUTFLOW
+
+        m = mark_boundaries(mesh)
+        present = set(np.unique(m.markers[m.markers > 0]))
+        assert {AIRFOIL, INFLOW, OUTFLOW} <= present
+
+    def test_vertex_count_tracks_resolution(self, ys930_path):
+        from meshdqn_tpu.mesh import read_xdmf
+        from meshdqn_tpu.mesh.marking import airfoil_polyline
+        from meshdqn_tpu.mesh.generate import generate_channel_mesh
+
+        ring = airfoil_polyline(read_xdmf(ys930_path))
+        coarse = generate_channel_mesh(ring, 0.3)
+        fine = generate_channel_mesh(ring, 0.18)
+        assert coarse.num_vertices < fine.num_vertices
+        # stock ys930 is resolution 0.15 with 876 vertices; the generator
+        # tracks the reference curve within ~20% at nearby resolutions
+        assert 200 <= coarse.num_vertices <= 500
