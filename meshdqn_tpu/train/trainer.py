@@ -117,6 +117,9 @@ class Trainer:
 
         self._pending_batches: list = []
         self.metrics = MetricsRecorder(self.save_dir, config.prefix)
+        from ..utils import JsonLogger
+
+        self.jsonlog = JsonLogger(os.path.join(self.save_dir, "train_log.jsonl"))
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpt"))
         self.state = TrainerState()
         self.plot_every = max(25, agent.write_every)
@@ -329,6 +332,15 @@ class Trainer:
 
                 if done:
                     self.metrics.add_episode(ep_rewards[i], ep_actions[i])
+                    self.jsonlog.log(
+                        "episode",
+                        episode=self.state.episode + 1,
+                        env=i,
+                        steps=len(ep_rewards[i]),
+                        reward=float(np.sum(ep_rewards[i])),
+                        eps=eps_val,
+                        global_step=self.state.global_step,
+                    )
                     ep_rewards[i], ep_actions[i] = [], []
                     env_states[i] = env.reset()
                     self.state.episode += 1

@@ -5,9 +5,12 @@ from .config import (
     FlowConfig,
     OptimizerConfig,
 )
+from .jsonlog import JsonLogger, read_jsonl
 from .profiling import Timer, force_sync, timed, trace
 
 __all__ = [
+    "JsonLogger",
+    "read_jsonl",
     "AgentConfig",
     "Config",
     "EpsilonConfig",

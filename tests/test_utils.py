@@ -92,3 +92,28 @@ class TestProfiling:
         x = jnp.ones((3, 3))
         assert force_sync(x) == 1.0
         assert force_sync({"k": x * 2}) == 2.0
+
+
+class TestJsonLogger:
+    def test_log_and_read_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from meshdqn_tpu.utils import JsonLogger, read_jsonl
+
+        p = str(tmp_path / "log.jsonl")
+        log = JsonLogger(p)
+        log.log("episode", episode=1, reward=-1.5)
+        log.log("episode", episode=2, reward=np.float32(0.25))  # numpy scalar
+        log.close()
+        recs = read_jsonl(p)
+        assert [r["event"] for r in recs] == ["episode", "episode"]
+        assert recs[1]["reward"] == 0.25
+        assert all("ts" in r for r in recs)
+
+    def test_append_across_instances(self, tmp_path):
+        from meshdqn_tpu.utils import JsonLogger, read_jsonl
+
+        p = str(tmp_path / "log.jsonl")
+        JsonLogger(p).log("a")
+        JsonLogger(p).log("b")
+        assert [r["event"] for r in read_jsonl(p)] == ["a", "b"]
