@@ -65,16 +65,29 @@ def locate(src: SourceField, points: jnp.ndarray):
     """For each point, the best cell and its reference coords.
 
     points: (P, 2).  Returns (cells (P,), xi (P, 2)).
+
+    The O(P*C) candidate sweep runs in f32 — under x64 it would otherwise
+    be the env hot path's dominant device cost (f64 is software-emulated
+    on TPU and the (P, C, 2) intermediate is ~10^8 flops per env).  Cell
+    CHOICE is all the sweep decides; near-edge f32 ties can pick either
+    adjacent cell, and P2/P1 evaluation is continuous across shared edges,
+    so the evaluated value is unaffected at f64 resolution.  The reference
+    coordinates of the chosen cell are then recomputed at point precision
+    (gathered rows only — O(P) work).
     """
-    d = points[:, None, :] - src.p0[None, :, :]  # (P,C,2)
+    p32 = points.astype(jnp.float32)
+    d = p32[:, None, :] - src.p0.astype(jnp.float32)[None, :, :]  # (P,C,2)
     # xi = Jinv @ (x - p0): contraction over Jinv's SECOND index (the
     # gradient path in fem/assembly.py contracts the first — that one is
     # Jinv^T by the chain rule; this one is Jinv itself).
-    xi = jnp.einsum("pcd,ced->pce", d, src.Jinv)  # (P,C,2)
+    xi = jnp.einsum("pcd,ced->pce", d, src.Jinv.astype(jnp.float32))
     bary0 = 1.0 - xi[..., 0] - xi[..., 1]
     minb = jnp.minimum(bary0, jnp.minimum(xi[..., 0], xi[..., 1]))  # (P,C)
     cells = jnp.argmax(minb, axis=1)  # containing cell, or least-violating
-    xi_best = jnp.take_along_axis(xi, cells[:, None, None], axis=1)[:, 0, :]
+    # exact reference coords from the chosen cell, at point precision
+    xi_best = jnp.einsum(
+        "pd,ped->pe", points - src.p0[cells], src.Jinv[cells]
+    )
     return cells, xi_best
 
 
