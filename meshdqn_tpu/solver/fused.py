@@ -210,7 +210,7 @@ def _dense64(coo, shape):
     return jnp.zeros(shape, jnp.float64).at[r, c].add(v)
 
 
-def _refined_solve(A64, B64, iters):
+def _refined_solve(A64, B64, iters, chunk=2048):
     """X ~= A^-1 B with f32 LU + f64-residual iterative refinement.
 
     TPUs have no f64 LU (jnp.linalg.inv fails in f64), but XLA emulates f64
@@ -222,17 +222,37 @@ def _refined_solve(A64, B64, iters):
     point; casting X to f32 then yields the same correctly-rounded operator
     entries as the host-f64 path (verified to ~1e-12 rel of
     build_fused_host_f64 on ys930).
+
+    B's columns stream through `lax.map` in fixed `chunk`-wide blocks: the
+    emulated-f64 matmul materializes ~8 f32 limb copies of its operands, so
+    an unchunked (n, 2n+m) B peaks at several GB of HLO temps and the
+    remote compiler aborts above ~7k dofs (seen at sweep resolution 0.14).
+    Chunked, the peak is ~8 * n * chunk * 4 B regardless of mesh size.
     """
+    n = A64.shape[0]
+    ncols = B64.shape[1]
     Ainv32 = jnp.linalg.inv(A64.astype(jnp.float32))
-    X = jnp.matmul(Ainv32, B64.astype(jnp.float32), precision=HIGH).astype(
-        jnp.float64
-    )
-    for _ in range(iters):
-        R = B64 - jnp.matmul(A64, X)
-        X = X + jnp.matmul(
-            Ainv32, R.astype(jnp.float32), precision=HIGH
-        ).astype(jnp.float64)
-    return X
+
+    pad = (-ncols) % chunk
+    Bp = jnp.pad(B64, ((0, 0), (0, pad)))
+    nblk = Bp.shape[1] // chunk
+    # (nblk, n, chunk) column blocks
+    blocks = jnp.moveaxis(Bp.reshape(n, nblk, chunk), 1, 0)
+
+    def solve_block(Bb):
+        X = jnp.matmul(Ainv32, Bb.astype(jnp.float32), precision=HIGH).astype(
+            jnp.float64
+        )
+        for _ in range(iters):
+            R = Bb - jnp.matmul(A64, X)
+            X = X + jnp.matmul(
+                Ainv32, R.astype(jnp.float32), precision=HIGH
+            ).astype(jnp.float64)
+        return X
+
+    Xb = jax.lax.map(solve_block, blocks)  # (nblk, n, chunk)
+    X = jnp.moveaxis(Xb, 0, 1).reshape(n, nblk * chunk)
+    return X[:, :ncols]
 
 
 @partial(jax.jit, static_argnames=("n1", "npp", "iters", "split"))
