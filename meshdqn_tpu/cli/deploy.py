@@ -63,7 +63,7 @@ def main(argv=None):
     # Validate/refresh the cached ground truth exactly as the trainer does
     # (fingerprint sidecar records the precision used), so deploy can never
     # bless a GT computed under a different flow config into the run dir.
-    gt = load_or_compute_ground_truth(cfg, base)
+    gt = load_or_compute_ground_truth(cfg, base, reuse_any_precision=True)
 
     # Load the trained net from the run's checkpoints.
     n_actions = cfg.agent.N_closest + 1

@@ -37,10 +37,17 @@ def load_or_compute_ground_truth(
     config: Config,
     run_dir: str,
     ground_truth: GroundTruth | None = None,
+    reuse_any_precision: bool = False,
 ) -> GroundTruth:
     """Return the run's ground truth, loading the cache when its fingerprint
     matches and (re)writing both the npz and the sidecar otherwise — the npz
-    and fingerprint on disk always correspond."""
+    and fingerprint on disk always correspond.
+
+    reuse_any_precision: accept a cached GT whose fingerprint differs ONLY
+    in solver precision (without touching the sidecar).  Deployment uses
+    this: the training ground truth is the policy's reference frame and
+    must be reused even when re-simulation runs at a different precision —
+    recomputing would also clobber the training run's cache."""
     os.makedirs(run_dir, exist_ok=True)
     gt_path = os.path.join(run_dir, "ground_truth.npz")
     meta_path = os.path.join(run_dir, "ground_truth_meta.json")
@@ -53,6 +60,20 @@ def load_or_compute_ground_truth(
                 cached_meta = json.load(f)
         if cached_meta == fingerprint:
             return GroundTruth.load(gt_path)
+        if reuse_any_precision and cached_meta is not None:
+            strip = lambda m: {
+                k: v
+                for k, v in m.items()
+                if k not in ("precision", "refine_iters")
+            }
+            if strip(cached_meta) == strip(fingerprint):
+                print(
+                    "reusing cached ground truth computed at precision "
+                    f"{cached_meta.get('precision')!r} (deploy precision "
+                    f"{fingerprint.get('precision')!r} affects only "
+                    "re-simulation)"
+                )
+                return GroundTruth.load(gt_path)
         print("ground_truth.npz fingerprint mismatch; recomputing")
 
     if ground_truth is None:

@@ -160,3 +160,46 @@ class TestTrainerDataParallel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
+
+
+class TestGtCachePrecisionReuse:
+    def test_deploy_reuses_training_gt_across_precision(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """Deploy must reuse the training-precision GT (the policy's
+        reference frame) instead of clobbering the cache when only the
+        re-simulation precision differs."""
+        import copy as _copy
+        import json
+
+        from meshdqn_tpu.train.gtcache import load_or_compute_ground_truth
+
+        cfg = _copy.deepcopy(small_config)
+        d = str(tmp_path)
+        got = load_or_compute_ground_truth(cfg, d, ground_truth)
+        meta_path = tmp_path / "ground_truth_meta.json"
+        before = json.loads(meta_path.read_text())
+
+        cfg2 = _copy.deepcopy(cfg)
+        cfg2.flow.precision = "f32"
+        reused = load_or_compute_ground_truth(cfg2, d, reuse_any_precision=True)
+        # same snapshots, sidecar untouched
+        np.testing.assert_array_equal(reused.gt_drag, got.gt_drag)
+        assert json.loads(meta_path.read_text()) == before
+
+    def test_mesh_change_still_recomputes(
+        self, small_config, ground_truth, tmp_path, ah93w145_path
+    ):
+        import copy as _copy
+
+        from meshdqn_tpu.train.gtcache import gt_fingerprint
+
+        cfg = _copy.deepcopy(small_config)
+        fp1 = gt_fingerprint(cfg)
+        cfg.flow.mesh = ah93w145_path
+        cfg.flow.precision = "f32"
+        fp2 = gt_fingerprint(cfg)
+        strip = lambda m: {
+            k: v for k, v in m.items() if k not in ("precision", "refine_iters")
+        }
+        assert strip(fp1) != strip(fp2)  # reuse_any_precision would NOT fire
