@@ -64,6 +64,7 @@ import scipy.linalg
 
 from ..fem.assembly import apply_bc_symmetric, assemble_operators
 from ..mesh import TriMesh, mark_boundaries
+from ..ops.cg import jacobi_inv, pcg
 from ..ops.convection import ConvectionKernel
 from ..ops.sparse import EllMatrix
 from ..probes import drag_probe, lift_probe
@@ -110,6 +111,94 @@ class DeviceOperators(NamedTuple):
     lift_p: jnp.ndarray
     rho: jnp.ndarray  # scalars as 0-d arrays
     dt: jnp.ndarray
+
+
+class CGOperators(NamedTuple):
+    """Operator pytree for the large-mesh CG step (method='cg').
+
+    The two big velocity systems stay SPARSE (ELL) and are solved by
+    warm-started Jacobi-PCG (ops/cg.py) — no (2Ns, 2Ns) dense inverses, so
+    HBM scales linearly with the mesh and the reference's finest sweep rows
+    (3395 vertices, smooth_ys930_…csv:2) fit a single chip.  Only the small
+    pressure Poisson system (Np = vertex count) keeps a dense inverse,
+    optionally refined against the sparse A2 to strip inverse-entry
+    rounding.
+    """
+
+    A1bc: EllMatrix
+    d1inv: jnp.ndarray  # (2Ns,) Jacobi preconditioner for A1bc
+    A2inv: jnp.ndarray  # (Np, Np) dense pressure inverse
+    A2bc: EllMatrix  # sparse pressure system, for refinement residuals
+    A3bc_s: EllMatrix  # (Ns, Ns) scalar mass system
+    d3inv: jnp.ndarray  # (Ns,)
+    R1: EllMatrix
+    P1m: EllMatrix
+    Kp: EllMatrix
+    BT: EllMatrix
+    M: EllMatrix
+    G: EllMatrix
+    z_u: jnp.ndarray
+    z_p: jnp.ndarray
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    t3: jnp.ndarray
+    conv: ConvectionKernel
+    drag_u: jnp.ndarray
+    drag_p: jnp.ndarray
+    lift_u: jnp.ndarray
+    lift_p: jnp.ndarray
+    rho: jnp.ndarray
+    dt: jnp.ndarray
+
+
+def ipcs_step_cg(dev: CGOperators, state: FlowState, u_star_prev: jnp.ndarray,
+                 iters_u: int, iters_m: int, p_refine: int):
+    """One IPCS step with CG velocity solves, warm-started from the previous
+    step (the dt=1e-3 transient moves slowly, so x0 is already close)."""
+    u_n, p_n = state
+    ns = dev.A3bc_s.shape[0]
+    c = dev.conv(u_n)
+    # Step 1: tentative velocity — Jacobi-PCG on the CN system.
+    b1 = (dev.R1 @ u_n) + (dev.P1m @ p_n) - dev.rho * c
+    b1 = b1 * dev.z_u + dev.t1
+    u_star = pcg(
+        dev.A1bc, dev.d1inv, b1[:, None], u_star_prev[:, None], iters_u
+    )[:, 0]
+    # Step 2: pressure correction — small dense inverse (+ refinement).
+    b2 = (dev.Kp @ p_n) - (dev.BT @ u_star) / dev.dt
+    b2 = b2 * dev.z_p + dev.t2
+    p_new = dev.A2inv @ b2
+    for _ in range(p_refine):
+        r = b2 - (dev.A2bc @ p_new)
+        p_new = p_new + dev.A2inv @ r
+    # Step 3: velocity correction — scalar mass solve on both components as
+    # one dual-RHS CG (shared streamed operator).
+    dp = p_new - p_n
+    b3 = (dev.M @ u_star) - dev.dt * (dev.G @ dp)
+    b3 = b3 * dev.z_u + dev.t3
+    B3 = jnp.stack([b3[:ns], b3[ns:]], axis=1)
+    X0 = jnp.stack([u_star[:ns], u_star[ns:]], axis=1)
+    Y = pcg(dev.A3bc_s, dev.d3inv, B3, X0, iters_m)
+    u_new = jnp.concatenate([Y[:, 0], Y[:, 1]])
+
+    new_state = FlowState(u=u_new, p=p_new)
+    drag = dev.drag_u @ u_new + dev.drag_p @ p_new
+    lift = dev.lift_u @ u_new + dev.lift_p @ p_new
+    return new_state, u_star, (drag, lift)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "iters_u", "iters_m", "p_refine"))
+def evolve_cg_n(dev: CGOperators, state: FlowState, u_star0: jnp.ndarray,
+                n_steps: int, iters_u: int, iters_m: int, p_refine: int):
+    def body(carry, _):
+        s, ustar = carry
+        s, ustar, dl = ipcs_step_cg(dev, s, ustar, iters_u, iters_m, p_refine)
+        return (s, ustar), dl
+
+    (state, ustar), (drags, lifts) = jax.lax.scan(
+        body, (state, u_star0), None, length=n_steps
+    )
+    return state, ustar, (drags, lifts)
 
 
 def ipcs_step(dev: DeviceOperators, state: FlowState, precision: str, refine_iters: int):
@@ -223,6 +312,15 @@ class IPCSConfig:
     # instead of f32 on device: ~45 s extra single-core setup, maximally
     # accurate f32 operator entries.
     compose_on_host: bool = False
+    # 'dense' = invert-once / fused dense operators (default; best below
+    # ~1600 vertices).  'cg' = large-mesh path: sparse velocity systems
+    # solved by warm-started Jacobi-PCG, dense inverse only for the small
+    # pressure Poisson block — HBM scales linearly with the mesh, covering
+    # the reference's finest sweep rows (3395 verts) on one chip.
+    method: str = "dense"
+    cg_iters_u: int = 25  # PCG iterations, tentative-velocity system
+    cg_iters_m: int = 20  # PCG iterations, scalar-mass correction system
+    cg_pressure_refine: int = 1  # dense-inverse refinement passes
     # Quantize the fused systems' dof counts up to multiples of pad_quantum
     # (velocity-scalar block; pressure uses pad_quantum//4, min 32) by
     # zero-embedding + unit pad diagonal — EXACT, and collapses the
@@ -280,6 +378,47 @@ class IPCSSolver:
         # numpy-broadcasting bug there fixed: a vertex is removable iff it is
         # not a boundary vertex (SURVEY.md §2a known defects).
         self.removable = ~mesh.boundary_vertex_mask
+
+        if cfg.method == "cg":
+            if cfg.precision not in ("f64", "f32"):
+                raise ValueError("method='cg' supports precision 'f64'|'f32'")
+            self.fused = False
+            self.dev_lo = None
+            self.work_dtype = wdt
+            self.pressure_dtype = wdt
+            # Pressure inverse composed exactly in host f64, cast to the
+            # working dtype (Np x Np — small even at the finest meshes).
+            A2i = scipy.linalg.inv(A2bc.toarray())
+            A1ell = EllMatrix.from_scipy(A1bc, dtype=wdt)
+            A3ell = EllMatrix.from_scipy(A3bc_s, dtype=wdt)
+            self.dev = CGOperators(
+                A1bc=A1ell,
+                d1inv=jacobi_inv(A1ell).astype(wdt),
+                A2inv=jnp.asarray(A2i, dtype=wdt),
+                A2bc=EllMatrix.from_scipy(A2bc, dtype=wdt),
+                A3bc_s=A3ell,
+                d3inv=jacobi_inv(A3ell).astype(wdt),
+                R1=EllMatrix.from_scipy(ops.R1, dtype=wdt),
+                P1m=EllMatrix.from_scipy(ops.B - ops.Bn, dtype=wdt),
+                Kp=EllMatrix.from_scipy(ops.Kp, dtype=wdt),
+                BT=EllMatrix.from_scipy(ops.B.T.tocsr(), dtype=wdt),
+                M=EllMatrix.from_scipy(ops.M, dtype=wdt),
+                G=EllMatrix.from_scipy(ops.G, dtype=wdt),
+                z_u=jnp.asarray(zu, dtype=wdt),
+                z_p=jnp.asarray(zp, dtype=wdt),
+                t1=jnp.asarray(gu - zu * (A1 @ gu), dtype=wdt),
+                t2=jnp.asarray(gp - zp * (A2 @ gp), dtype=wdt),
+                t3=jnp.asarray(gu - zu * (A3 @ gu), dtype=wdt),
+                conv=ConvectionKernel.build(mesh, dtype=wdt),
+                drag_u=jnp.asarray(dprobe.d_u, dtype=wdt),
+                drag_p=jnp.asarray(dprobe.d_p, dtype=wdt),
+                lift_u=jnp.asarray(lprobe.d_u, dtype=wdt),
+                lift_p=jnp.asarray(lprobe.d_p, dtype=wdt),
+                rho=jnp.asarray(cfg.rho, dtype=wdt),
+                dt=jnp.asarray(cfg.dt, dtype=wdt),
+            )
+            self._cg_ustar = jnp.zeros(self.ndofs_u, dtype=wdt)
+            return
 
         self.fused = (
             cfg.fused
@@ -446,6 +585,13 @@ class IPCSSolver:
 
     def evolve(self, state: FlowState, n_steps: int = 1):
         """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
+        if self.config.method == "cg":
+            cfg = self.config
+            state, self._cg_ustar, (drags, lifts) = evolve_cg_n(
+                self.dev, state, self._cg_ustar, n_steps,
+                cfg.cg_iters_u, cfg.cg_iters_m, cfg.cg_pressure_refine,
+            )
+            return state, drags, lifts
         if self.fused:
             if self.dev_lo is not None:
                 state, (drags, lifts) = evolve_fused_df32_n(

@@ -41,8 +41,10 @@ DEFAULT_RESOLUTIONS = [
 ]
 
 # Above this vertex count the fused dense operators / f64 refinement
-# blocks stop fitting comfortably in 16 GB HBM; use the unfused
-# invert-once path there (same physics, ~2.5x the per-step cost).
+# blocks stop fitting comfortably in 16 GB HBM; switch to the sparse
+# warm-started-CG path (IPCSConfig.method='cg') whose HBM footprint is
+# linear in the mesh — it carries the reference's finest sweep rows
+# (3395 verts, smooth_ys930_…csv:2) on a single chip.
 FUSED_VERTEX_LIMIT = 1600
 
 
@@ -83,9 +85,11 @@ def main(argv=None):
             mesh = smooth(generate_channel_mesh(ring, res), 50)
             nv = mesh.num_vertices
             fused = nv <= FUSED_VERTEX_LIMIT and backend == "tpu"
+            big = nv > FUSED_VERTEX_LIMIT
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
+                method="cg" if big else "dense",
                 invert_on_device=backend == "tpu",
                 pad_quantum=args.pad_quantum if fused else 0,
             )
