@@ -255,3 +255,61 @@ class TestTrainStepMany:
         b = buf.sample(4, np.random.default_rng(7))
         for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestMilestoneMapping:
+    """The reference's MultiStepLR milestones count GLOBAL gradient
+    applications (airfoil_dqn.py:172-176); each of our nets carries its own
+    optimizer whose count only advances while that net is online, so the
+    per-net boundary sits at milestone // 2 (rl/dqn.py make_optimizer).
+    These tests exercise the mapping NEAR a boundary with small milestones —
+    the production boundaries (0.5M/1M/1.5M) are exact under the strict
+    role alternation verified here."""
+
+    def test_lr_drops_at_half_global_milestone(self):
+        from meshdqn_tpu.rl.dqn import make_optimizer
+
+        cfg = DQNConfig(
+            lr=1.0, weight_decay=0.0, target_update=2,
+            milestones=(8,), milestone_gamma=0.1,
+        )
+        opt = make_optimizer(cfg)
+        params = {"w": jnp.zeros(())}
+        st = opt.init(params)
+        g = {"w": jnp.ones(())}
+        mags = []
+        for _ in range(8):
+            upd, st = opt.update(g, st, params)
+            mags.append(abs(float(upd["w"])))
+        # Adam with a constant gradient normalizes to |update| = lr.  The
+        # per-net boundary is milestones[0] // 2 = 4 applications; allow
+        # one step of boundary-semantics slack.
+        assert all(m > 0.5 for m in mags[:4]), mags
+        assert all(m < 0.15 for m in mags[5:]), mags
+
+    def test_per_net_counts_track_half_global(self):
+        """Strict alternation keeps each net's application count within
+        target_update of global/2 at EVERY step — the invariant that makes
+        the per-net boundary equal the global milestone to within one swap
+        period."""
+        key = jax.random.PRNGKey(0)
+        p1 = init_params(key, 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=2, topk=0.1, milestones=(8,))
+        state = init_dqn(p1, p2, cfg)
+
+        buf = ReplayBuffer(capacity=32, n_nodes=10, n_features=17, edge_budget=16)
+        for i in range(10):
+            gph = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            buf.push(gph, i % 11, gph if i % 3 else None, float(i) / 10)
+        rng = np.random.default_rng(0)
+
+        def adam_count(opt_state):
+            return int(opt_state[1].count)
+
+        for gs in range(1, 17):
+            state, _ = train_step(state, buf.sample(4, rng), cfg)
+            c1, c2 = adam_count(state.opt1), adam_count(state.opt2)
+            assert c1 + c2 == gs
+            assert abs(2 * c1 - gs) <= cfg.target_update, (gs, c1, c2)
+            assert abs(2 * c2 - gs) <= cfg.target_update, (gs, c1, c2)
