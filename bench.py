@@ -125,8 +125,9 @@ if __name__ == "__main__":
                     "unit": "s",
                     "vs_baseline": 0,
                     "error": f"TPU backend unresponsive within {DEADLINE_S}s "
-                    "(remote compile service outage); last verified result: "
-                    "4.97 s wall (21.95x baseline), drag rel err 6.1e-5",
+                    "(remote compile service outage); last verified result "
+                    "(2026-08-17): 4.89 s wall (22.29x baseline), drag rel "
+                    "err 2.7e-5, lift rel 3.6e-4, warm setup 27.8 s",
                 }
             )
         )
