@@ -82,7 +82,18 @@ def remove_vertex(
     removable_mask: (V,) bool; non-removable (boundary) vertices may not be
     deleted — mirrors the `selected_coord in self.removable` guard
     (Env2DAirfoil.py:549).
+
+    backend 'cavity' dispatches to the O(star) local cavity fill
+    (coarsen/cavity.py) instead of a global re-triangulation, falling back
+    to the global path when the cavity is unfillable.
     """
+    if backend == "cavity":
+        from .cavity import remove_vertex_cavity
+
+        res = remove_vertex_cavity(mesh, vertex, removable_mask, min_area)
+        if res.status == RemovalStatus.OK:
+            return res
+        backend = "auto"  # unfillable cavity: global-Delaunay fallback
     V = mesh.num_vertices
     if vertex < 0 or vertex >= V:
         return RemovalResult(RemovalStatus.BROKE_MESH, None, None)

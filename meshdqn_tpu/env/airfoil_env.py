@@ -410,7 +410,14 @@ class AirfoilEnv:
         vertex = int(window[action])
 
         res = remove_vertex(
-            self.mesh, vertex, removable_mask=~self.mesh.boundary_vertex_mask
+            self.mesh,
+            vertex,
+            removable_mask=~self.mesh.boundary_vertex_mask,
+            backend=(
+                "cavity"
+                if self.config.flow.retriangulation == "cavity"
+                else "auto"
+            ),
         )
         if res.status != RemovalStatus.OK:
             return int(res.status), None

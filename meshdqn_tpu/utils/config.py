@@ -32,6 +32,11 @@ class FlowConfig:
     # collapses per-mesh-shape compiles onto shared cache buckets.  Used by
     # the deploy re-simulation path and resolution sweeps; 0 = off.
     pad_quantum: int = 0
+    # Vertex-removal re-triangulation: 'global' = reference-parity global
+    # Delaunay (Env2DAirfoil.py:487-493); 'cavity' = O(star) local
+    # constrained-Delaunay cavity fill (coarsen/cavity.py) which perturbs
+    # nothing outside the removed vertex's star.
+    retriangulation: str = "global"
 
 
 @dataclass
