@@ -294,6 +294,15 @@ def _pad_diag(n: int, start: int):
     )
 
 
+# Largest f32 system the on-device LU (jnp.linalg.inv -> XLA
+# LuDecompositionBlock custom-call) can factor on a v5e without running out
+# of scoped VMEM.  Measured on hardware: 9,216 rows compiles and runs;
+# 12,288 rows aborts compilation AND crashes the remote TPU worker.  Above
+# this, composition/inversion falls back to host f64 LAPACK (exact, ~45 s
+# single-core for the largest dense meshes).
+ON_DEVICE_LU_ROW_LIMIT = 9216
+
+
 @dataclass
 class IPCSConfig:
     mu: float = 1e-3
@@ -483,10 +492,15 @@ class IPCSSolver:
             # rel at device speed.  On the CPU backend the f64 matmul
             # sweeps are slower than one LAPACK inversion pass, so host
             # composition stays the CPU default.
-            if cfg.compose_on_host or jax.default_backend() == "cpu":
-                builder = build_fused_host_f64
-            else:
-                builder = build_fused_refined
+            compose_host = cfg.compose_on_host or jax.default_backend() == "cpu"
+            if not compose_host and A1bc.shape[0] > ON_DEVICE_LU_ROW_LIMIT:
+                # v5e scoped-VMEM cap on the XLA LU custom-call: a
+                # 12,288-row f32 LU aborts compilation ("Ran out of memory
+                # in memory space vmem … LuDecompositionBlock") and CRASHES
+                # the remote TPU worker; 9,216 rows is the largest measured
+                # safe size.  Compose on host (exact f64 LAPACK) instead.
+                compose_host = True
+            builder = build_fused_host_f64 if compose_host else build_fused_refined
             built = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,
@@ -524,7 +538,10 @@ class IPCSSolver:
             on_device = cfg.precision == "f32" and jax.default_backend() == "tpu"
 
         def _inv(A_sp):
-            if on_device:
+            # Same v5e scoped-VMEM LU cap as the fused compose path (see
+            # ON_DEVICE_LU_ROW_LIMIT above) — fall back to host LAPACK
+            # rather than crash the remote worker.
+            if on_device and A_sp.shape[0] <= ON_DEVICE_LU_ROW_LIMIT:
                 A = jnp.asarray(A_sp.toarray(), dtype=jnp.float32)
                 return jnp.linalg.inv(A).astype(inv_dtype)
             return jnp.asarray(

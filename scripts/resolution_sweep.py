@@ -90,6 +90,9 @@ def main(argv=None):
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
                 method="cg" if big else "dense",
+                # The solver caps on-device LU at ON_DEVICE_LU_ROW_LIMIT
+                # rows (v5e scoped-VMEM; bigger systems crashed the remote
+                # worker) and composes on host above it.
                 invert_on_device=backend == "tpu",
                 pad_quantum=args.pad_quantum if fused else 0,
             )
