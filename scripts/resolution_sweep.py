@@ -47,6 +47,14 @@ DEFAULT_RESOLUTIONS = [
 # (3395 verts, smooth_ys930_…csv:2) on a single chip.
 FUSED_VERTEX_LIMIT = 1600
 
+# The f32-CG scan has crashed the remote TPU worker twice (ROADMAP.md);
+# until that is fixed, larger meshes on the TPU backend run the UNFUSED
+# dense invert-once path (operators inverted on host under the solver's
+# ON_DEVICE_LU_ROW_LIMIT cap, ~0.7 GB per dense inverse at 2,000 verts) up
+# to this limit; rows beyond it are skipped on TPU — the finest rows are
+# covered by the CPU f64-CG oracle (docs/examples/gen_finest_f64cg_oracle.csv).
+DENSE_TPU_VERTEX_LIMIT = 2600
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -86,10 +94,19 @@ def main(argv=None):
             nv = mesh.num_vertices
             fused = nv <= FUSED_VERTEX_LIMIT and backend == "tpu"
             big = nv > FUSED_VERTEX_LIMIT
+            if backend == "tpu" and nv > DENSE_TPU_VERTEX_LIMIT:
+                print(
+                    f"res {res}: verts {nv} exceeds the TPU dense limit "
+                    f"({DENSE_TPU_VERTEX_LIMIT}); run this row on CPU "
+                    "(f64-CG oracle) instead",
+                    flush=True,
+                )
+                continue
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
-                method="cg" if big else "dense",
+                # CG only off-TPU: the f32-CG scan crashes the remote worker.
+                method="cg" if (big and backend != "tpu") else "dense",
                 # The solver caps on-device LU at ON_DEVICE_LU_ROW_LIMIT
                 # rows (v5e scoped-VMEM; bigger systems crashed the remote
                 # worker) and composes on host above it.
