@@ -4,6 +4,7 @@ from .benchmark import (
     improvement_figure,
     load_sweep,
     run_resolution_sweep,
+    sweep_overlay_figure,
 )
 from .reward import movingaverage, plot_reward
 
@@ -13,6 +14,7 @@ __all__ = [
     "improvement_figure",
     "load_sweep",
     "run_resolution_sweep",
+    "sweep_overlay_figure",
     "movingaverage",
     "plot_reward",
 ]

@@ -258,3 +258,70 @@ def benchmark_figure(
         snapshot_index=snapshot_index,
     )
     return stats
+
+
+def sweep_overlay_figure(
+    gen_csv: str,
+    ref_csv: str,
+    quantity: str = "drag",
+    out: str | None = None,
+    title: str | None = None,
+):
+    """Overlay OUR generated resolution sweep on the reference's CSV rows.
+
+    The reference's de-facto regression table is its benchmark_results CSVs
+    (analyze_benchmark.py:25-33); this figure shows the framework's own
+    mesh-generation + solver pipeline reproducing the same drag/lift vs
+    vertex-count trend from geometry alone.  Returns a stats dict with the
+    median relative deviation of the generated rows from the reference
+    trend (linear interpolation in vertex count over the shared range).
+    """
+    assert quantity in ("drag", "lift")
+    qcol = quantity.upper()
+    gen = load_sweep(gen_csv).dropna(subset=[qcol]).sort_values("NUM_COORDS")
+    ref = load_sweep(ref_csv).dropna(subset=[qcol]).sort_values("NUM_COORDS")
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    ax.scatter(
+        ref["NUM_COORDS"], ref[qcol].abs(), marker="s", s=70,
+        color="steelblue", edgecolor="k", lw=1.5, label="Reference sweep (FEniCS)",
+    )
+    ax.scatter(
+        gen["NUM_COORDS"], gen[qcol].abs(), marker="o", s=80,
+        color="darkorange", edgecolor="k", lw=1.5,
+        label="Generated sweep (this framework)",
+    )
+    ax.set_xlabel("Number of Vertices", fontsize=20)
+    ax.set_ylabel(quantity.capitalize(), fontsize=20)
+    if title:
+        ax.set_title(title, fontsize=22, y=1.01)
+    ax.legend(fontsize=13, loc="lower right")
+
+    # Trend agreement over the overlapping vertex range.
+    lo = max(gen["NUM_COORDS"].min(), ref["NUM_COORDS"].min())
+    hi = min(gen["NUM_COORDS"].max(), ref["NUM_COORDS"].max())
+    inside = gen[(gen["NUM_COORDS"] >= lo) & (gen["NUM_COORDS"] <= hi)]
+    stats = {"n_gen": int(len(gen)), "n_ref": int(len(ref))}
+    if len(inside) and len(ref) >= 2:
+        interp = np.interp(
+            inside["NUM_COORDS"].values,
+            ref["NUM_COORDS"].values,
+            ref[qcol].abs().values,
+        )
+        rel = np.abs(inside[qcol].abs().values - interp) / np.abs(interp)
+        stats["median_rel_dev"] = float(np.median(rel))
+        stats["max_rel_dev"] = float(np.max(rel))
+        ax.plot(
+            ref["NUM_COORDS"], ref[qcol].abs(), color="steelblue", lw=1,
+            alpha=0.5, zorder=-1,
+        )
+
+    if out:
+        fig.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    return stats

@@ -5,7 +5,12 @@ import numpy as np
 import pytest
 import jax
 
-from meshdqn_tpu.analysis import analyze_actions, benchmark_figure, plot_reward
+from meshdqn_tpu.analysis import (
+    analyze_actions,
+    benchmark_figure,
+    plot_reward,
+    sweep_overlay_figure,
+)
 from meshdqn_tpu.deploy import Deployer, DeployOptions, plot_mesh, plot_state, vertex_plot
 from meshdqn_tpu.env import AirfoilEnv, GroundTruth
 from meshdqn_tpu.models import init_params
@@ -51,6 +56,20 @@ class TestAnalysis:
         stats = benchmark_figure(csv, str(tmp_path), "ys930_results")
         assert os.path.exists(tmp_path / "ys930_results_benchmark.png")
         assert stats == {}  # no deployed trajectories present
+
+    def test_sweep_overlay_figure(self, tmp_path):
+        # Our generated-from-geometry sweep vs the reference's shipped CSV:
+        # the overlay is the VERDICT-5 acceptance artifact (matching drag
+        # trend over the shared vertex range).
+        ref = "/root/reference/training_results/benchmark_results/smooth_ys930_1.0_0.001_smooth_benchmark.csv"
+        gen = "docs/examples/gen_ys930_benchmark_r2.csv"
+        out = tmp_path / "overlay.png"
+        stats = sweep_overlay_figure(gen, ref, "drag", out=str(out))
+        assert out.exists()
+        assert stats["n_gen"] >= 8 and stats["n_ref"] > 40
+        # generated rows track the reference trend; the sweep scatter itself
+        # is a few percent at coarse resolutions, so gate loosely
+        assert stats["median_rel_dev"] < 0.08
 
 
 class TestViz:
