@@ -111,7 +111,17 @@ def polyline_distance(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
     NumPy equivalent of shapely `Polygon.distance(Point)` for exterior
     points (Env2DAirfoil.py:239-241): min over ring segments of the
     point-to-segment distance.  Vectorised (P, K) — no GEOS.
+
+    Uses the native C++ kernel when available (same formula, ~25x faster —
+    this runs for every mesh vertex on every removal's window rebuild);
+    falls back to the NumPy broadcast otherwise.
     """
+    from ..native import available, polyline_distance_native
+
+    if available():
+        return polyline_distance_native(
+            np.asarray(points, np.float64), np.asarray(ring, np.float64)
+        )
     a = ring
     b = np.roll(ring, -1, axis=0)  # closing segment included
     ab = b - a  # (K,2)

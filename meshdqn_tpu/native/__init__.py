@@ -26,10 +26,19 @@ _build_failed = False
 
 
 def _build() -> bool:
-    sources = [os.path.join(_SRC, f) for f in ("smooth.cpp", "delaunay.cpp")]
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH] + sources
+    sources = [
+        os.path.join(_SRC, f)
+        for f in ("smooth.cpp", "delaunay.cpp", "geometry.cpp")
+    ]
+    # Compile to a temp path and os.replace: a rebuild must never truncate
+    # the .so in place while another live process (e.g. the training loop)
+    # has it dlopen-mapped — replace swaps the inode and leaves the old
+    # mapping intact.
+    tmp = _LIB_PATH + ".tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp] + sources
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
         return False
@@ -71,6 +80,10 @@ def get_lib():
         lib.smooth_mesh.restype = None
         lib.delaunay_triangulate.argtypes = [f64p, ctypes.c_int64, i64p, ctypes.c_int64]
         lib.delaunay_triangulate.restype = ctypes.c_int64
+        lib.polyline_min_dist.argtypes = [
+            f64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p,
+        ]
+        lib.polyline_min_dist.restype = None
         _lib = lib
         return _lib
 
@@ -96,6 +109,18 @@ def smooth_native(coords, nbr_indices, nbr_offsets, opp_a, opp_b, opp_offsets,
         np.ascontiguousarray(interior, np.int64),
         len(interior), iters,
     )
+    return out
+
+
+def polyline_distance_native(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min distance from each point to the closed polyline `ring`."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    rg = np.ascontiguousarray(ring, dtype=np.float64)
+    out = np.empty(len(pts), dtype=np.float64)
+    lib.polyline_min_dist(pts, len(pts), rg, len(rg), out)
     return out
 
 

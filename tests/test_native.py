@@ -70,3 +70,34 @@ class TestNativeDelaunay:
         # Nondegenerate: every triangle has strictly positive area (thin
         # slivers along the hull are legitimate Delaunay output).
         assert m.cell_volumes().min() > 0
+
+
+class TestNativePolylineDistance:
+    def test_matches_numpy_formula(self):
+        """Native kernel == the NumPy broadcast fallback (same formula)."""
+        from meshdqn_tpu.native import polyline_distance_native
+
+        rng = np.random.default_rng(7)
+        pts = rng.standard_normal((500, 2))
+        ring = rng.standard_normal((80, 2))
+        a, b = ring, np.roll(ring, -1, axis=0)
+        ab = b - a
+        ab2 = np.maximum((ab * ab).sum(axis=1), 1e-300)
+        ap = pts[:, None, :] - a[None]
+        t = np.clip((ap * ab[None]).sum(axis=2) / ab2[None], 0.0, 1.0)
+        proj = a[None] + t[..., None] * ab[None]
+        d_np = np.linalg.norm(pts[:, None, :] - proj, axis=2).min(axis=1)
+        d_nat = polyline_distance_native(pts, ring)
+        assert np.allclose(d_np, d_nat, rtol=0, atol=1e-12)
+        # Ordering (what the N-closest window consumes) is preserved.
+        assert np.array_equal(np.argsort(d_np), np.argsort(d_nat))
+
+    def test_point_on_segment_is_zero(self):
+        from meshdqn_tpu.native import polyline_distance_native
+
+        ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        pts = np.array([[0.5, 0.0], [2.0, 0.5], [0.5, 0.5]])
+        d = polyline_distance_native(pts, ring)
+        assert abs(d[0]) < 1e-15
+        assert abs(d[1] - 1.0) < 1e-15
+        assert abs(d[2] - 0.5) < 1e-15
