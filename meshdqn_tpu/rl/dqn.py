@@ -160,6 +160,32 @@ def train_step_many(state: DQNState, batches: TransitionBatch, cfg: DQNConfig):
     return jax.lax.scan(body, state, batches)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step_idx(state: DQNState, store, idx, cfg: DQNConfig):
+    """One gradient application whose batch is GATHERED ON DEVICE from a
+    DeviceReplay store by (B,) indices — only the indices cross the host
+    link (rl/replay.py DeviceReplay)."""
+    from .replay import gather_batch
+
+    return _train_step_impl(state, gather_batch(store, idx), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step_many_idx(state: DQNState, store, idx, cfg: DQNConfig):
+    """K sequential gradient applications, batches gathered on device from
+    a DeviceReplay store by (K, B) indices.  Arithmetically identical to
+    train_step_many over host-sampled batches of the same indices, but the
+    K*B padded-graph tensors never leave device memory — the sweep's
+    optimize flush uploads ~5 KB of indices instead of ~40 MB of batches.
+    Returns (new_state, losses (K,))."""
+    from .replay import gather_batch
+
+    def body(s, i):
+        return _train_step_impl(s, gather_batch(store, i), cfg)
+
+    return jax.lax.scan(body, state, idx)
+
+
 @partial(jax.jit, static_argnames=("topk",))
 def select_action(params1: dict, g: GraphState, topk: float = 0.1):
     """Greedy action from net 1 (airfoil_dqn.py:208-209)."""

@@ -124,3 +124,168 @@ def stack_batches(batches: list[TransitionBatch]) -> TransitionBatch:
     return jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.stack(xs)), *batches
     )
+
+
+class ReplayStore(NamedTuple):
+    """Device-array pytree backing DeviceReplay (leading [slot, capacity]
+    dims as in ReplayBuffer's host rings)."""
+
+    x: jnp.ndarray  # (2, c, n, f) f32
+    ei: jnp.ndarray  # (2, c, 2, e) i32
+    ea: jnp.ndarray  # (2, c, e) f32
+    nm: jnp.ndarray  # (2, c, n) bool
+    em: jnp.ndarray  # (2, c, e) bool
+    action: jnp.ndarray  # (c,) i32
+    reward: jnp.ndarray  # (c,) f32
+    non_final: jnp.ndarray  # (c,) bool
+
+
+def _scatter_store(store: ReplayStore, pos: jnp.ndarray, vals: ReplayStore):
+    """Write staged transitions at ring positions `pos` (k,).  Padded slots
+    carry pos == capacity (out of bounds) and are dropped by the scatter, so
+    one compiled module serves any staged count up to the pad size."""
+    return ReplayStore(
+        x=store.x.at[:, pos].set(vals.x, mode="drop"),
+        ei=store.ei.at[:, pos].set(vals.ei, mode="drop"),
+        ea=store.ea.at[:, pos].set(vals.ea, mode="drop"),
+        nm=store.nm.at[:, pos].set(vals.nm, mode="drop"),
+        em=store.em.at[:, pos].set(vals.em, mode="drop"),
+        action=store.action.at[pos].set(vals.action, mode="drop"),
+        reward=store.reward.at[pos].set(vals.reward, mode="drop"),
+        non_final=store.non_final.at[pos].set(vals.non_final, mode="drop"),
+    )
+
+
+_scatter_store_jit = None
+
+
+def gather_batch(store: ReplayStore, idx: jnp.ndarray) -> TransitionBatch:
+    """On-device gather of a (B,) index batch (traced inside train jits)."""
+
+    def graph(slot):
+        return GraphState(
+            x=store.x[slot, idx],
+            edge_index=store.ei[slot, idx],
+            edge_attr=store.ea[slot, idx],
+            node_mask=store.nm[slot, idx],
+            edge_mask=store.em[slot, idx],
+        )
+
+    return TransitionBatch(
+        state=graph(0),
+        action=store.action[idx],
+        next_state=graph(1),
+        reward=store.reward[idx],
+        non_final=store.non_final[idx],
+    )
+
+
+class DeviceReplay:
+    """Device-resident replay ring (same semantics as ReplayBuffer).
+
+    The padded-graph rings live in device memory (~550 MB at capacity
+    10k): the trainer stages a sweep's transitions on host and `flush()`
+    lands them with ONE small H2D scatter (donated buffers — in-place on
+    device), and gradient batches are gathered on device by index
+    (rl/dqn.py train_step_many_idx).  Compared to host sampling this
+    removes the K*B padded-batch upload (~40 MB per 32-env sweep over the
+    remote-TPU link) from every optimize flush.
+
+    `sample_indices` draws from the same rng stream with the same
+    uniform-without-replacement distribution as ReplayBuffer.sample_np at
+    the same call point; because the gather is deferred to the flush, a
+    full ring may serve a slot overwritten later in the same sweep
+    (uniform replacement — bit-identical to the host path until the ring
+    wraps, distribution-identical after).
+    """
+
+    def __init__(self, capacity: int, n_nodes: int, n_features: int, edge_budget: int):
+        self.capacity = capacity
+        c, n, f, e = capacity, n_nodes, n_features, edge_budget
+        self.store = ReplayStore(
+            x=jnp.zeros((2, c, n, f), jnp.float32),
+            ei=jnp.zeros((2, c, 2, e), jnp.int32),
+            ea=jnp.zeros((2, c, e), jnp.float32),
+            nm=jnp.zeros((2, c, n), bool),
+            em=jnp.zeros((2, c, e), bool),
+            action=jnp.zeros(c, jnp.int32),
+            reward=jnp.zeros(c, jnp.float32),
+            non_final=jnp.zeros(c, bool),
+        )
+        self._pos = 0
+        self._size = 0
+        self._staged: list = []
+        self._zero = GraphState(
+            x=np.zeros((n, f), np.float32),
+            edge_index=np.zeros((2, e), np.int32),
+            edge_attr=np.zeros(e, np.float32),
+            node_mask=np.zeros(n, bool),
+            edge_mask=np.zeros(e, bool),
+        )
+
+    def push(self, state, action, next_state, reward):
+        self._staged.append((state, action, next_state, reward))
+        self._pos = (self._pos + 1) % self.capacity
+        self._size = min(self._size + 1, self.capacity)
+
+    def __len__(self):
+        return self._size
+
+    def sample_indices(self, batch_size: int, rng: np.random.Generator) -> np.ndarray:
+        """(B,) int32 indices against the CURRENT ring size (same rng call
+        as ReplayBuffer.sample_np)."""
+        return rng.choice(self._size, size=batch_size, replace=False).astype(np.int32)
+
+    def flush(self):
+        """Land staged transitions on device (one scatter call)."""
+        if not self._staged:
+            return
+        k = len(self._staged)
+        start = (self._pos - k) % self.capacity
+        # Pad the staged count to a multiple of 8; padded rows get the
+        # out-of-bounds position `capacity` and are dropped by the scatter,
+        # bounding the number of compiled scatter shapes.
+        kp = -(-k // 8) * 8
+        pos = np.full(kp, self.capacity, np.int64)
+        pos[:k] = (start + np.arange(k)) % self.capacity
+        pad = self._zero
+        self._staged = self._staged + [(pad, 0, pad, 0.0)] * (kp - k)
+
+        def stack(fn):
+            return np.stack([fn(t) for t in self._staged])
+
+        g = lambda s: s if s is not None else self._zero  # noqa: E731
+        vals = ReplayStore(
+            x=np.stack(
+                [stack(lambda t: np.asarray(g(t[0]).x)),
+                 stack(lambda t: np.asarray(g(t[2]).x))]
+            ),
+            ei=np.stack(
+                [stack(lambda t: np.asarray(g(t[0]).edge_index)),
+                 stack(lambda t: np.asarray(g(t[2]).edge_index))]
+            ),
+            ea=np.stack(
+                [stack(lambda t: np.asarray(g(t[0]).edge_attr)),
+                 stack(lambda t: np.asarray(g(t[2]).edge_attr))]
+            ),
+            nm=np.stack(
+                [stack(lambda t: np.asarray(g(t[0]).node_mask)),
+                 stack(lambda t: np.asarray(g(t[2]).node_mask))]
+            ),
+            em=np.stack(
+                [stack(lambda t: np.asarray(g(t[0]).edge_mask)),
+                 stack(lambda t: np.asarray(g(t[2]).edge_mask))]
+            ),
+            action=np.array([t[1] for t in self._staged], np.int32),
+            reward=np.array([t[3] for t in self._staged], np.float32),
+            non_final=np.array([t[2] is not None for t in self._staged], bool),
+        )
+        self._staged = []
+        global _scatter_store_jit
+        if _scatter_store_jit is None:
+            import jax
+
+            _scatter_store_jit = jax.jit(_scatter_store, donate_argnums=(0,))
+        self.store = _scatter_store_jit(
+            self.store, jnp.asarray(pos, jnp.int32), vals
+        )

@@ -40,7 +40,6 @@ from ..rl import (
     ReplayBuffer,
     epsilon,
     init_dqn,
-    train_step,
 )
 from ..utils import Config
 from .checkpoint import CheckpointManager
@@ -109,9 +108,28 @@ class Trainer:
             topk=0.1,
         )
         self.dqn = init_dqn(p1, p2, self.dqn_cfg)
-        self.replay = ReplayBuffer(
-            REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+        # Multi-chip data parallelism (decided early: it picks the replay
+        # backend) requires the batch to divide evenly over the devices.
+        divisible = opt.batch_size % jax.device_count() == 0
+        if data_parallel is None:
+            data_parallel = jax.device_count() > 1 and divisible
+        self.data_parallel = (
+            data_parallel and jax.device_count() > 1 and divisible
         )
+        if self.data_parallel:
+            # dp mode shards host-sampled batches over the mesh.
+            self.replay = ReplayBuffer(
+                REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+            )
+        else:
+            # Single-device: device-resident ring; gradient batches are
+            # gathered on device by index (~5 KB of indices per sweep
+            # instead of ~40 MB of padded batches over the tunnel).
+            from ..rl import DeviceReplay
+
+            self.replay = DeviceReplay(
+                REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+            )
         self.batch_size = opt.batch_size
         self.rng = np.random.default_rng(config.seed)
 
@@ -135,14 +153,6 @@ class Trainer:
                 self.state.episode = int(extras["episode"])
                 self.metrics.load()
 
-        # Multi-chip data parallelism (parallel/dp.py); requires the batch
-        # to divide evenly over the devices.
-        divisible = self.batch_size % jax.device_count() == 0
-        if data_parallel is None:
-            data_parallel = jax.device_count() > 1 and divisible
-        self.data_parallel = (
-            data_parallel and jax.device_count() > 1 and divisible
-        )
         if self.data_parallel:
             from ..parallel import make_dp_train_step, make_mesh, replicate
 
@@ -154,54 +164,67 @@ class Trainer:
     def _optimize(self):
         """Queue one gradient step (airfoil_dqn.py:315-319 skip-until-batch).
 
-        The batch is SAMPLED now — against the buffer exactly as the
-        reference's per-transition DataWorker would see it — but the device
-        call is deferred: `_flush_optimize` scans all queued batches through
-        `train_step_many` in ONE tunnel round-trip per sweep, arithmetically
-        identical to sequential `train_step` calls."""
+        The batch indices are DRAWN now — against the buffer size exactly as
+        the reference's per-transition DataWorker would see it — but the
+        device call is deferred: `_flush_optimize` scans all queued batches
+        through `train_step_many_idx` (on-device index gather from the
+        device-resident ring) in ONE tunnel round-trip per sweep,
+        arithmetically identical to sequential `train_step` calls."""
         if len(self.replay) < self.batch_size:
             return
+        if not self.data_parallel:
+            # Device replay: queue INDICES now (same rng call point as host
+            # sampling); the flush gathers them on device.
+            self._pending_batches.append(
+                self.replay.sample_indices(self.batch_size, self.rng)
+            )
+            return
+        # dp mode: host-sample the batch and shard it over the device mesh
+        # immediately (the collective path is latency-tolerant in tests and
+        # K-scan sharding buys nothing on a virtual mesh).
         self._pending_batches.append(
             self.replay.sample_np(self.batch_size, self.rng)
         )
-        if self.data_parallel:
-            # dp mode shards each batch over the device mesh; keep the
-            # per-batch call (the collective path is latency-tolerant in
-            # tests and K-scan sharding buys nothing on a virtual mesh).
-            self._flush_optimize()
+        self._flush_optimize()
 
     def _flush_optimize(self):
         if not self._pending_batches:
             return
-        from ..rl import stack_batches, train_step_many
-
         batches = self._pending_batches
         self._pending_batches = []
-        if self.data_parallel:
-            from ..parallel import shard_batch
+        if not self.data_parallel:
+            from ..rl import train_step_idx, train_step_many_idx
 
-            import jax.tree_util as jtu
-
-            for b in batches:
-                dev = jtu.tree_map(jnp.asarray, b)
-                self.dqn, loss = self._dp_step(
-                    self.dqn, shard_batch(self.mesh, dev)
+            self.replay.flush()
+            if len(batches) < len(self.envs):
+                # Warm-up partial sweep: per-batch single-step calls reuse
+                # one compiled module for any odd K.
+                for idx in batches:
+                    self.dqn, loss = train_step_idx(
+                        self.dqn, self.replay.store, jnp.asarray(idx),
+                        self.dqn_cfg,
+                    )
+                    self.metrics.add_loss(loss)
+            else:
+                self.dqn, losses = train_step_many_idx(
+                    self.dqn,
+                    self.replay.store,
+                    jnp.asarray(np.stack(batches)),
+                    self.dqn_cfg,
                 )
-                self.metrics.add_loss(loss)
-        elif len(batches) < len(self.envs):
-            # Warm-up partial sweep: odd K would cost a one-off scan
-            # compilation (~30 s on the remote compile service); per-batch
-            # steps reuse the single-step module instead.
-            for b in batches:
-                dev = jax.tree_util.tree_map(jnp.asarray, b)
-                self.dqn, loss = train_step(self.dqn, dev, self.dqn_cfg)
-                self.metrics.add_loss(loss)
-        else:
-            self.dqn, losses = train_step_many(
-                self.dqn, stack_batches(batches), self.dqn_cfg
+                for i in range(len(batches)):
+                    self.metrics.add_loss(losses[i])
+            return
+        from ..parallel import shard_batch
+
+        import jax.tree_util as jtu
+
+        for b in batches:
+            dev = jtu.tree_map(jnp.asarray, b)
+            self.dqn, loss = self._dp_step(
+                self.dqn, shard_batch(self.mesh, dev)
             )
-            for i in range(len(batches)):
-                self.metrics.add_loss(losses[i])
+            self.metrics.add_loss(loss)
 
     # ------------------------------------------------------------------
     def train(self, num_episodes: int | None = None, max_steps: int | None = None):

@@ -313,3 +313,90 @@ class TestMilestoneMapping:
             assert c1 + c2 == gs
             assert abs(2 * c1 - gs) <= cfg.target_update, (gs, c1, c2)
             assert abs(2 * c2 - gs) <= cfg.target_update, (gs, c1, c2)
+
+
+class TestDeviceReplay:
+    """DeviceReplay + on-device index gather == host ReplayBuffer path,
+    bitwise, while the ring has not wrapped (rl/replay.py DeviceReplay)."""
+
+    def _fill(self, buf, n=20):
+        for i in range(n):
+            g = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            g2 = make_graph(10, 10, [(0, 1)], seed=i + 100, e_pad=16)
+            buf.push(g, i % 11, g2 if i % 3 else None, float(i) / 10)
+
+    def test_gather_matches_host_sampling(self):
+        from meshdqn_tpu.rl import DeviceReplay, gather_batch
+
+        host = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        dev = DeviceReplay(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        self._fill(host)
+        self._fill(dev)
+        assert len(host) == len(dev) == 20
+        idx = dev.sample_indices(4, np.random.default_rng(7))
+        dev.flush()
+        got = gather_batch(dev.store, jnp.asarray(idx))
+        want = host.sample_np(4, np.random.default_rng(7))
+        for x, y in zip(
+            jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_train_many_idx_matches_host_path(self):
+        from meshdqn_tpu.rl import (
+            DeviceReplay,
+            stack_batches,
+            train_step_many,
+            train_step_many_idx,
+        )
+
+        p1 = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=3, topk=0.1)
+        state0 = init_dqn(p1, p2, cfg)
+
+        host = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        dev = DeviceReplay(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        self._fill(host)
+        self._fill(dev)
+
+        K = 7
+        rng_h = np.random.default_rng(42)
+        rng_d = np.random.default_rng(42)
+        host_batches = [host.sample_np(4, rng_h) for _ in range(K)]
+        idx = np.stack([dev.sample_indices(4, rng_d) for _ in range(K)])
+        dev.flush()
+
+        want_state, want_losses = train_step_many(
+            state0, stack_batches(host_batches), cfg
+        )
+        got_state, got_losses = train_step_many_idx(
+            state0, dev.store, jnp.asarray(idx), cfg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_losses), np.asarray(want_losses)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got_state.params1),
+            jax.tree_util.tree_leaves(want_state.params1),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ring_wrap_and_staged_pad(self):
+        """Wrapping the ring keeps size==capacity and overwrites oldest;
+        flush-padding never writes ghost rows."""
+        from meshdqn_tpu.rl import DeviceReplay
+
+        dev = DeviceReplay(capacity=8, n_nodes=10, n_features=17, edge_budget=16)
+        for i in range(11):  # 11 pushes into capacity 8 -> wraps by 3
+            g = make_graph(10, 10, [(0, 1)], seed=i, e_pad=16)
+            dev.push(g, i, g, float(i))
+        dev.flush()
+        assert len(dev) == 8
+        acts = np.asarray(dev.store.action)
+        # Ring layout: slots [0..2] hold pushes 8..10, slots [3..7] hold 3..7.
+        np.testing.assert_array_equal(acts, [8, 9, 10, 3, 4, 5, 6, 7])
+        np.testing.assert_array_equal(
+            np.asarray(dev.store.reward),
+            np.array([8, 9, 10, 3, 4, 5, 6, 7], np.float32),
+        )
