@@ -313,7 +313,9 @@ def cavity_fill_jax(poly, mask):
     order = jnp.argsort(jnp.where(active, idx, K + idx))
     a0, a1, a2 = order[0], order[1], order[2]
     last = jnp.stack([a0, a1, a2]).astype(jnp.int32)
-    ok = n_active == 3
+    # Mirror the NumPy fill's final check (delaunay_ear_fill: cr <= 0 ->
+    # None): a clockwise/degenerate last triangle invalidates the fill.
+    ok = (n_active == 3) & (cross2(poly[a0], poly[a1], poly[a2]) > 0.0)
     t_last = jnp.sum(tri_mask)  # next free slot
     tris = tris.at[t_last].set(jnp.where(ok, last, tris[jnp.minimum(t_last, K - 3)]))
     tri_mask = tri_mask.at[t_last].set(ok)

@@ -327,6 +327,14 @@ class AirfoilEnv:
                 result = self.transfer.step_products_from_inputs(prep.inputs)
             except Exception:
                 result = None  # rollback in complete_step
+        if prep.post_window is not None:
+            # Do-nothing path: reuse the window prepare_step already
+            # computed (the Trainer does the same via a batched gather);
+            # otherwise get_state would recompute it from scratch.
+            vel_w, p_w = self.transfer.gather_window(
+                self._dev_snaps, prep.post_window
+            )
+            self._cached_state_inputs = (prep.post_window, vel_w, p_w)
         return self.complete_step(prep, result)
 
     def prepare_step(self, action: int) -> "StepPrep":

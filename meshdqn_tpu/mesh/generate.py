@@ -62,21 +62,23 @@ def spline_ring(ring: np.ndarray, spacing: float) -> np.ndarray:
 
 
 def _ring_distance(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Distance to the closed ring polyline (vectorised point-segment)."""
-    a = ring
-    b = np.roll(ring, -1, axis=0)
-    ab = b - a
-    ab2 = np.maximum((ab * ab).sum(axis=1), 1e-300)
-    ap = pts[:, None, :] - a[None, :, :]
-    t = np.clip((ap * ab[None]).sum(axis=2) / ab2[None], 0.0, 1.0)
-    proj = a[None] + t[..., None] * ab[None]
-    return np.linalg.norm(pts[:, None, :] - proj, axis=2).min(axis=1)
+    """Distance to the closed ring polyline.
+
+    Delegates to env.graph.polyline_distance, which dispatches to the
+    native C++ kernel when built (~25x over the NumPy broadcast) — this
+    runs for every centroid/candidate in each refinement round."""
+    from ..env.graph import polyline_distance
+
+    return polyline_distance(np.asarray(pts, np.float64), ring)
 
 
 def _in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     from matplotlib.path import Path
 
-    return Path(ring, closed=True).contains_points(pts)
+    # NOTE: Path(ring, closed=True) would treat the LAST vertex as a
+    # CLOSEPOLY marker and drop its coordinates from containment tests;
+    # an implicitly-closed Path keeps every ring vertex.
+    return Path(ring).contains_points(pts)
 
 
 def generate_channel_mesh(

@@ -594,11 +594,20 @@ class IPCSSolver:
 
     def initial_state(self) -> FlowState:
         """Zero initial condition, like the reference's fresh Functions
-        (flow_solver.py:92-93)."""
+        (flow_solver.py:92-93).  Also resets the CG warm-start vector so a
+        second trajectory through the same solver reproduces a fresh one
+        (the fixed-iteration PCG has no convergence check; a stale x0 from
+        a previous trajectory would change early-step solutions)."""
+        self.reset_warm_start()
         return FlowState(
             u=jnp.zeros(self.ndofs_u, dtype=self.work_dtype),
             p=jnp.zeros(self.ndofs_p, dtype=self.pressure_dtype),
         )
+
+    def reset_warm_start(self):
+        """Zero the PCG warm-start (no-op for non-CG methods)."""
+        if self.config.method == "cg":
+            self._cg_ustar = jnp.zeros_like(self._cg_ustar)
 
     def evolve(self, state: FlowState, n_steps: int = 1):
         """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
@@ -634,6 +643,9 @@ class IPCSSolver:
         Mirrors the reference's ground-truth loop (Env2DAirfoil.py:111-125):
         every `save_steps` steps, snapshot (u, p, drag, lift) — drag/lift
         sampled from the state just computed.
+
+        CG method + explicit `state`: call reset_warm_start() first if the
+        state does not continue the solver's previous trajectory.
         """
         if state is None:
             state = self.initial_state()

@@ -89,6 +89,7 @@ class MetricsRecorder:
         self.epss = _load("eps.npy", [])
 
     def plot(self):
+        self._flush_losses()
         try:
             import matplotlib
 
