@@ -58,6 +58,17 @@ def main():
     setup_s = time.time() - t0
     log(f"setup (assembly + on-device refined composition): {setup_s:.1f}s")
 
+    # Warm per-mesh setup: what every SUBSEQUENT solver build in the same
+    # process costs (training remeshes, deploy rebuilds, sweep rows).  The
+    # first-build number above is dominated by per-process one-time costs
+    # on this remote-TPU backend: shipping the ~60 MB of persisted compose
+    # executables over the ~14 MB/s tunnel (scripts/setup_breakdown.py) —
+    # the composition itself executes in ~3 s (measured, uncontended).
+    t0 = time.time()
+    IPCSSolver(mesh, IPCSConfig(precision=precision))
+    setup_warm_s = time.time() - t0
+    log(f"setup (warm per-mesh rebuild): {setup_warm_s:.1f}s")
+
     # Warm up/compile the exact scan used by solve(5000, 1000).  NOTE: on
     # the remote-TPU backend here, block_until_ready does NOT block; a host
     # readback (float()) is the only reliable fence, and identical
@@ -106,6 +117,7 @@ def main():
                 "drag_rel_err_vs_reference": rel,
                 "lift_rel_err_vs_reference": rel_lift,
                 "setup_s": round(setup_s, 1),
+                "setup_warm_s": round(setup_warm_s, 1),
             }
         )
     )

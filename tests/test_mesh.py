@@ -159,3 +159,23 @@ class TestGeneratedMesh:
         # stock ys930 is resolution 0.15 with 876 vertices; the generator
         # tracks the reference curve within ~20% at nearby resolutions
         assert 200 <= coarse.num_vertices <= 500
+
+    def test_in_ring_includes_every_ring_vertex_region(self):
+        """Path(ring, closed=True) silently drops the LAST vertex's
+        coordinates (CLOSEPOLY consumes them); _in_ring must classify
+        points near EVERY ring vertex correctly (review fix)."""
+        import numpy as np
+
+        from meshdqn_tpu.mesh.generate import _in_ring
+
+        # Square whose last vertex (0,1) is the one Path(closed=True)
+        # would drop, turning the region into a triangle.
+        ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        pts = np.array([
+            [0.15, 0.8],   # inside the square, OUTSIDE the dropped-vertex triangle
+            [0.5, 0.5],    # well inside
+            [-0.1, 0.5],   # outside
+            [0.5, 1.1],    # outside
+        ])
+        inside = _in_ring(pts, ring)
+        assert inside.tolist() == [True, True, False, False]
