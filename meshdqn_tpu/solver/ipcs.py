@@ -330,6 +330,13 @@ class IPCSConfig:
     cg_iters_u: int = 25  # PCG iterations, tentative-velocity system
     cg_iters_m: int = 20  # PCG iterations, scalar-mass correction system
     cg_pressure_refine: int = 1  # dense-inverse refinement passes
+    # Bound the CG scan length per device call: evolve() splits n_steps
+    # into <=cg_chunk-step programs (bit-identical to one long scan — the
+    # carried state and warm start are exact).  The remote TPU worker
+    # crashes executing >=100-step CG scans at finest-row mesh sizes
+    # (~3,300 verts / 27k dofs) while 25-step chunks run fine
+    # (scripts/cg_tpu_probe.py); 0 = unchunked.
+    cg_chunk: int = 0
     # Quantize the fused systems' dof counts up to multiples of pad_quantum
     # (velocity-scalar block; pressure uses pad_quantum//4, min 32) by
     # zero-embedding + unit pad diagonal — EXACT, and collapses the
@@ -613,10 +620,20 @@ class IPCSSolver:
         """Advance n_steps; returns (state, drags (n,), lifts (n,))."""
         if self.config.method == "cg":
             cfg = self.config
-            state, self._cg_ustar, (drags, lifts) = evolve_cg_n(
-                self.dev, state, self._cg_ustar, n_steps,
-                cfg.cg_iters_u, cfg.cg_iters_m, cfg.cg_pressure_refine,
-            )
+            chunk = cfg.cg_chunk if cfg.cg_chunk > 0 else n_steps
+            ds, ls = [], []
+            done = 0
+            while done < n_steps:
+                n = min(chunk, n_steps - done)
+                state, self._cg_ustar, (d, l) = evolve_cg_n(
+                    self.dev, state, self._cg_ustar, n,
+                    cfg.cg_iters_u, cfg.cg_iters_m, cfg.cg_pressure_refine,
+                )
+                ds.append(d)
+                ls.append(l)
+                done += n
+            drags = ds[0] if len(ds) == 1 else jnp.concatenate(ds)
+            lifts = ls[0] if len(ls) == 1 else jnp.concatenate(ls)
             return state, drags, lifts
         if self.fused:
             if self.dev_lo is not None:

@@ -47,13 +47,14 @@ DEFAULT_RESOLUTIONS = [
 # (3395 verts, smooth_ys930_…csv:2) on a single chip.
 FUSED_VERTEX_LIMIT = 1600
 
-# The f32-CG scan has crashed the remote TPU worker twice (ROADMAP.md);
-# until that is fixed, larger meshes on the TPU backend run the UNFUSED
-# dense invert-once path (operators inverted on host under the solver's
-# ON_DEVICE_LU_ROW_LIMIT cap, ~0.7 GB per dense inverse at 2,000 verts) up
-# to this limit; rows beyond it are skipped on TPU — the finest rows are
-# covered by the CPU f64-CG oracle (docs/examples/gen_finest_f64cg_oracle.csv).
+# Above this, the TPU backend switches to the sparse CG path with BOUNDED
+# scan chunks (IPCSConfig.cg_chunk): >=100-step CG scans at finest-row
+# sizes crash the remote worker, while 25-step chunks run the full 5000
+# steps fine (scripts/cg_tpu_probe.py, ROADMAP.md).  Between the fused
+# limit and this, the UNFUSED dense invert-once path is used (operators
+# inverted on host under ON_DEVICE_LU_ROW_LIMIT).
 DENSE_TPU_VERTEX_LIMIT = 2600
+CG_TPU_CHUNK = 25
 
 
 def main(argv=None):
@@ -94,19 +95,14 @@ def main(argv=None):
             nv = mesh.num_vertices
             fused = nv <= FUSED_VERTEX_LIMIT and backend == "tpu"
             big = nv > FUSED_VERTEX_LIMIT
-            if backend == "tpu" and nv > DENSE_TPU_VERTEX_LIMIT:
-                print(
-                    f"res {res}: verts {nv} exceeds the TPU dense limit "
-                    f"({DENSE_TPU_VERTEX_LIMIT}); run this row on CPU "
-                    "(f64-CG oracle) instead",
-                    flush=True,
-                )
-                continue
+            # TPU large rows: sparse CG with bounded scan chunks; mid rows:
+            # unfused dense; CPU large rows: unchunked f64-CG.
+            use_cg = big and (backend != "tpu" or nv > DENSE_TPU_VERTEX_LIMIT)
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
-                # CG only off-TPU: the f32-CG scan crashes the remote worker.
-                method="cg" if (big and backend != "tpu") else "dense",
+                method="cg" if use_cg else "dense",
+                cg_chunk=CG_TPU_CHUNK if (use_cg and backend == "tpu") else 0,
                 # The solver caps on-device LU at ON_DEVICE_LU_ROW_LIMIT
                 # rows (v5e scoped-VMEM; bigger systems crashed the remote
                 # worker) and composes on host above it.

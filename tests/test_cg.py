@@ -79,3 +79,18 @@ class TestCGStepper:
         cg2 = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64", method="cg"))
         st1, d100, _ = cg2.evolve(cg2.initial_state(), 100)
         assert np.isclose(float(db[-1]), float(d100[-1]), rtol=1e-9)
+
+    def test_cg_chunked_evolve_bit_matches_unchunked(self, ys930_mesh):
+        """cg_chunk bounds the per-call scan length (the remote TPU worker
+        crashes on >=100-step CG scans at finest-row sizes) — splitting
+        must be EXACTLY the same computation: same per-step ops, carried
+        state and warm start."""
+        a = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64", method="cg"))
+        st, da, la = a.evolve(a.initial_state(), 60)
+        b = IPCSSolver(
+            ys930_mesh, IPCSConfig(precision="f64", method="cg", cg_chunk=25)
+        )
+        st2, db, lb = b.evolve(b.initial_state(), 60)
+        assert np.array_equal(np.asarray(da), np.asarray(db))
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+        assert np.array_equal(np.asarray(st.u), np.asarray(st2.u))
