@@ -97,6 +97,28 @@ class ReplayBuffer:
             non_final=self._non_final[idx],
         )
 
+    def save(self, path: str):
+        """Persist the full ring (uncompressed npz) so a process restart
+        resumes with the same buffer contents instead of an empty one."""
+        np.savez(
+            path,
+            x=self._x, ei=self._ei, ea=self._ea, nm=self._nm, em=self._em,
+            action=self._action, reward=self._reward,
+            non_final=self._non_final,
+            pos=self._pos, size=self._size,
+        )
+
+    def load(self, path: str) -> bool:
+        z = np.load(path)
+        if z["x"].shape != self._x.shape:
+            return False  # budgets changed under the same prefix
+        self._x[...] = z["x"]; self._ei[...] = z["ei"]
+        self._ea[...] = z["ea"]; self._nm[...] = z["nm"]
+        self._em[...] = z["em"]; self._action[...] = z["action"]
+        self._reward[...] = z["reward"]; self._non_final[...] = z["non_final"]
+        self._pos = int(z["pos"]); self._size = int(z["size"])
+        return True
+
     def sample(self, batch_size: int, rng: np.random.Generator) -> TransitionBatch:
         idx = rng.choice(self._size, size=batch_size, replace=False)
         def graph(slot):
@@ -289,3 +311,23 @@ class DeviceReplay:
         self.store = _scatter_store_jit(
             self.store, jnp.asarray(pos, jnp.int32), vals
         )
+
+    def save(self, path: str):
+        """Persist the ring: one device->host readback of the store (D2H
+        does not hit the axon client's H2D retention bug, docs/AXON.md)."""
+        self.flush()
+        np.savez(
+            path,
+            **{k: np.asarray(v) for k, v in self.store._asdict().items()},
+            pos=self._pos, size=self._size,
+        )
+
+    def load(self, path: str) -> bool:
+        z = np.load(path)
+        if z["x"].shape != self.store.x.shape:
+            return False  # budgets changed under the same prefix
+        self.store = ReplayStore(
+            **{k: jnp.asarray(z[k]) for k in ReplayStore._fields}
+        )
+        self._pos = int(z["pos"]); self._size = int(z["size"])
+        return True

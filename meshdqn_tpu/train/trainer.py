@@ -145,6 +145,18 @@ class Trainer:
         self.checkpoint_every = agent.checkpoint_every
         self._last_saved_episode = -1
 
+        # The experimental axon PJRT client retains the host copy of EVERY
+        # host->device transfer (docs/AXON.md: ~100% of H2D bytes leak, and
+        # jax.clear_caches() does not free them), so a long training process
+        # grows without bound (~30 GB/h at 32 envs).  Mitigation: when RSS
+        # crosses the watermark, save EVERYTHING (checkpoint + replay ring)
+        # and exit(75); run_train_loop.sh restarts the process, which
+        # resumes losslessly.
+        self._rss_limit_kb = (
+            float(os.environ.get("MESHDQN_RSS_LIMIT_GB", "60")) * 1024 * 1024
+        )
+        self._replay_path = os.path.join(self.save_dir, "replay.npz")
+
         if resume:
             restored = self.ckpt.restore(self.dqn)
             if restored is not None:
@@ -152,6 +164,11 @@ class Trainer:
                 self.state.global_step = int(extras["global_step"])
                 self.state.episode = int(extras["episode"])
                 self.metrics.load()
+                if os.path.exists(self._replay_path):
+                    ok = self.replay.load(self._replay_path)
+                    self.jsonlog.log(
+                        "replay_restore", ok=ok, size=len(self.replay)
+                    )
 
         if self.data_parallel:
             from ..parallel import make_dp_train_step, make_mesh, replicate
@@ -307,7 +324,12 @@ class Trainer:
             if removal_idx:
                 try:
                     outs = self._shared_transfer.run_products_batched(
-                        [preps[i].inputs for i in removal_idx], pad_to=n_envs
+                        [preps[i].inputs for i in removal_idx],
+                        pad_to=n_envs,
+                        # f32 wire: halves the dominant per-sweep upload;
+                        # the env path reads only the f32 `small` packing,
+                        # so this adds no observable error (docs/AXON.md).
+                        wire="f32",
                     )
                     results = dict(zip(removal_idx, outs))
                 except Exception:
@@ -396,12 +418,39 @@ class Trainer:
                     tacc["sweeps"] += 1
                     if tacc["sweeps"] % 10 == 0:
                         print({k: round(v, 2) for k, v in tacc.items()}, flush=True)
+                self._maybe_recycle()
                 continue
             break
         self._flush_optimize()
         self.metrics.write()
         self._save_checkpoint()
+        self.replay.save(self._replay_path)
         return self.summary(t_start)
+
+    def _maybe_recycle(self):
+        """Exit(75) for a lossless watchdog restart once the axon H2D
+        retention (docs/AXON.md) has grown RSS past the watermark."""
+        try:
+            rss_kb = int(
+                open("/proc/self/status").read().split("VmRSS:")[1].split()[0]
+            )
+        except Exception:
+            return
+        if rss_kb < self._rss_limit_kb:
+            return
+        self._flush_optimize()
+        self.metrics.write()
+        self.replay.save(self._replay_path)
+        self._last_saved_episode = -1  # force a fresh checkpoint
+        self._save_checkpoint()
+        self.jsonlog.log(
+            "recycle", rss_gb=round(rss_kb / 1024 / 1024, 1),
+            episode=self.state.episode, global_step=self.state.global_step,
+        )
+        import sys
+
+        sys.stdout.flush(); sys.stderr.flush()
+        os._exit(75)
 
     def _save_checkpoint(self):
         if self.state.episode == self._last_saved_episode:

@@ -196,6 +196,27 @@ _step_products_batched = jax.jit(
 
 
 @jax.jit
+def _step_products_batched_f32wire(src, u_all, p_all, pts32, pu32, pp32, widx):
+    """f32-wire variant: inputs are shipped as f32 and cast to f64 ON
+    DEVICE.  The per-removal payload (pts + probe functionals, ~9P doubles
+    per env) dominates the sweep's host->device bytes; halving it matters
+    both for tunnel upload time and for the axon client's H2D retention
+    (docs/AXON.md).  Accuracy: the env only consumes the f32-packed `small`
+    readback, so f32-rounding the inputs (~6e-8 rel) is invisible next to
+    the readback's own f32 rounding; the f64 on-device accumulation is kept.
+    Batch size is quantized by the caller (a few compiled variants) instead
+    of always padding to num_parallel — fewer shipped bytes AND fewer
+    padded compute rows when few envs remove."""
+    return _step_products_batched(
+        src, u_all, p_all,
+        pts32.astype(jnp.float64),
+        pu32.astype(jnp.float64),
+        pp32.astype(jnp.float64),
+        widx,
+    )
+
+
+@jax.jit
 def _gather_window(uv, pv, widx):
     """Window-feature gather from device-resident interpolants (the
     do-nothing/window-shift path: no re-interpolation needed)."""
@@ -344,28 +365,55 @@ class SnapshotTransfer:
         parsed = self._parse_small(small, inp["k"])
         return (uv, pv, inp["n1"], inp["n2"]), *parsed
 
-    def run_products_batched(self, inputs: list[dict], pad_to: int):
+    def run_products_batched(
+        self, inputs: list[dict], pad_to: int, wire: str = "f64"
+    ):
         """Run MANY envs' fused passes as one vmapped call padded to a
         static batch size (so the sweep never recompiles as the number of
         removing envs varies), with ONE host readback for all of them.
+
+        wire='f32' ships the padded inputs as f32 (cast to f64 on device,
+        see _step_products_batched_f32wire) and quantizes the batch to the
+        next power of two >= len(inputs) instead of always padding to
+        `pad_to` — a handful of compiled variants in exchange for ~2x fewer
+        shipped bytes and fewer padded compute rows.
 
         Returns a list of (dev_snaps, finite, drags, lifts, vel_w, p_w) in
         input order.
         """
         assert inputs and len(inputs) <= pad_to
-        padded = inputs + [inputs[0]] * (pad_to - len(inputs))
-        stk = lambda key, dt=None: jnp.asarray(
-            np.stack([i[key] for i in padded]), dt
-        )
-        uv, pv, small = _step_products_batched(
-            self.src,
-            self.u_src,
-            self.p_src,
-            stk("pts"),
-            stk("probe_u", jnp.float64),
-            stk("probe_p", jnp.float64),
-            stk("widx"),
-        )
+        if wire == "f32":
+            kq = 4
+            while kq < len(inputs):
+                kq *= 2
+            kq = min(kq, pad_to)
+            padded = inputs + [inputs[0]] * (kq - len(inputs))
+            stk = lambda key, dt: jnp.asarray(  # noqa: E731
+                np.stack([i[key] for i in padded]).astype(dt)
+            )
+            uv, pv, small = _step_products_batched_f32wire(
+                self.src,
+                self.u_src,
+                self.p_src,
+                stk("pts", np.float32),
+                stk("probe_u", np.float32),
+                stk("probe_p", np.float32),
+                stk("widx", np.int32),
+            )
+        else:
+            padded = inputs + [inputs[0]] * (pad_to - len(inputs))
+            stk = lambda key, dt=None: jnp.asarray(  # noqa: E731
+                np.stack([i[key] for i in padded]), dt
+            )
+            uv, pv, small = _step_products_batched(
+                self.src,
+                self.u_src,
+                self.p_src,
+                stk("pts"),
+                stk("probe_u", jnp.float64),
+                stk("probe_p", jnp.float64),
+                stk("widx"),
+            )
         smalls = np.asarray(small)  # ONE readback for the whole sweep
         out = []
         for b, inp in enumerate(inputs):

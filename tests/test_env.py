@@ -153,6 +153,36 @@ class TestInterpolationAccuracy:
         assert rel.max() < 1e-3
 
 
+class TestF32Wire:
+    def test_f32_wire_matches_f64_batched(self, env):
+        """run_products_batched(wire='f32') tracks the f64 wire to ~1e-5
+        rel — far below the env's f32 `small` readback granularity and the
+        1e-3 thresholds (transfer/interpolate.py f32-wire notes)."""
+        env.reset()
+        prep = env.prepare_step(0)  # remove nearest window vertex
+        assert prep.inputs is not None
+        tr = env.transfer
+        (d64, *r64) = tr.run_products_batched([prep.inputs], pad_to=4)[0]
+        (d32, *r32) = tr.run_products_batched(
+            [prep.inputs], pad_to=4, wire="f32"
+        )[0]
+        f64_, dr64, li64, vw64, pw64 = r64
+        f32_, dr32, li32, vw32, pw32 = r32
+        assert f64_ == f32_
+        # Forces (reward path): p/u functional dots agree to ~1e-5 rel.
+        np.testing.assert_allclose(dr32, dr64, rtol=2e-5)
+        np.testing.assert_allclose(li32, li64, rtol=2e-4, atol=1e-7)
+        # Window features (observation path): f32-rounded eval coordinates
+        # shift point values by ~|grad(field)| * 1e-7 — observation noise of
+        # ~1e-5 abs, far below physical feature scales O(1).
+        np.testing.assert_allclose(vw32, vw64, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(pw32, pw64, rtol=1e-3, atol=1e-5)
+        # device-resident interpolants match too (feed later window gathers)
+        np.testing.assert_allclose(
+            np.asarray(d32[0]), np.asarray(d64[0]), rtol=1e-3, atol=1e-5
+        )
+
+
 @pytest.fixture(scope="session")
 def ah93_ground_truth(ah93w145_path):
     cfg = Config.from_yaml(

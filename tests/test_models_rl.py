@@ -342,6 +342,37 @@ class TestDeviceReplay:
         ):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_save_load_roundtrip(self, tmp_path):
+        """Both replay backends persist/restore the full ring losslessly
+        (the axon-leak process-recycle path, trainer._maybe_recycle)."""
+        from meshdqn_tpu.rl import DeviceReplay
+
+        for cls in (ReplayBuffer, DeviceReplay):
+            a = cls(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+            b = cls(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+            self._fill(a)
+            p = str(tmp_path / f"{cls.__name__}.npz")
+            a.save(p)
+            assert b.load(p)
+            assert len(b) == len(a)
+            rng_a, rng_b = (np.random.default_rng(3) for _ in range(2))
+            if cls is ReplayBuffer:
+                wa = a.sample_np(4, rng_a)
+                wb = b.sample_np(4, rng_b)
+            else:
+                from meshdqn_tpu.rl import gather_batch
+
+                ia, ib = a.sample_indices(4, rng_a), b.sample_indices(4, rng_b)
+                wa = gather_batch(a.store, jnp.asarray(ia))
+                wb = gather_batch(b.store, jnp.asarray(ib))
+            for x, y in zip(
+                jax.tree_util.tree_leaves(wa), jax.tree_util.tree_leaves(wb)
+            ):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            # budget mismatch is rejected, not silently mixed
+            c = cls(capacity=100, n_nodes=12, n_features=17, edge_budget=16)
+            assert not c.load(p)
+
     def test_train_many_idx_matches_host_path(self):
         from meshdqn_tpu.rl import (
             DeviceReplay,
