@@ -320,7 +320,7 @@ class IPCSConfig:
     # Compose the fused operators in f64 on host (exact, then cast to f32)
     # instead of f32 on device: ~45 s extra single-core setup, maximally
     # accurate f32 operator entries.
-    compose_on_host: bool = False
+    compose_on_host: bool | None = None  # None = auto: host on CPU, device elsewhere
     # 'dense' = invert-once / fused dense operators (default; best below
     # ~1600 vertices).  'cg' = large-mesh path: sparse velocity systems
     # solved by warm-started Jacobi-PCG, dense inverse only for the small
@@ -499,7 +499,11 @@ class IPCSSolver:
             # rel at device speed.  On the CPU backend the f64 matmul
             # sweeps are slower than one LAPACK inversion pass, so host
             # composition stays the CPU default.
-            compose_host = cfg.compose_on_host or jax.default_backend() == "cpu"
+            compose_host = (
+                cfg.compose_on_host
+                if cfg.compose_on_host is not None
+                else jax.default_backend() == "cpu"
+            )
             if not compose_host and A1bc.shape[0] > ON_DEVICE_LU_ROW_LIMIT:
                 # v5e scoped-VMEM cap on the XLA LU custom-call: a
                 # 12,288-row f32 LU aborts compilation ("Ran out of memory

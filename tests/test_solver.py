@@ -59,6 +59,77 @@ class TestF64Regression:
         assert np.abs(u).max() < 3.0
 
 
+class TestNewtonSchulzInverse:
+    """_ns_inverse replaces the LU custom-call in the on-device composition
+    (solver/fused.py): pure-matmul executable, same f32 terminal accuracy."""
+
+    def test_matches_lu_inverse_spd_mass_like(self):
+        from meshdqn_tpu.solver.fused import _ns_inverse
+
+        rng = np.random.default_rng(0)
+        n = 300
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        # kappa ~ 50: the mass-dominated velocity systems' regime
+        A = (Q * np.geomspace(1.0, 50.0, n)) @ Q.T
+        X = np.asarray(_ns_inverse(jnp.asarray(A, jnp.float32), 20))
+        err = np.linalg.norm(np.eye(n) - A @ X) / np.linalg.norm(np.eye(n))
+        lu = np.linalg.inv(A.astype(np.float32))
+        err_lu = np.linalg.norm(np.eye(n) - A @ lu)
+        assert err < max(10 * err_lu, 1e-4), (err, err_lu)
+
+    def test_graded_mass_matrix_needs_jacobi_scaling(self):
+        """The on-hardware failure mode: FEM mass matrices on graded meshes
+        carry an h^2 diagonal spread (plus unit BC rows) that makes the raw
+        kappa huge; _ns_inverse's symmetric Jacobi scaling removes it."""
+        from meshdqn_tpu.solver.fused import _ns_inverse
+
+        rng = np.random.default_rng(3)
+        n = 400
+        # well-conditioned core scaled by a 1e3 diagonal spread (area
+        # grading) with a few unit rows (BC pins)
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        core = (Q * np.geomspace(1.0, 30.0, n)) @ Q.T
+        d = np.geomspace(1.0, 1e3, n)
+        rng.shuffle(d)
+        A = d[:, None] * core * d[None, :]
+        A[:5] = 0.0; A[:, :5] = 0.0; A[:5, :5] = np.eye(5)  # BC rows
+        X = np.asarray(_ns_inverse(jnp.asarray(A, jnp.float32), 24))
+        err = np.linalg.norm(np.eye(n) - A @ X, ord=2)
+        assert err < 1e-2, err
+
+    def test_converges_poisson_conditioning(self):
+        from meshdqn_tpu.solver.fused import _ns_inverse
+
+        rng = np.random.default_rng(1)
+        n = 300
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        # kappa = 1e4: the pressure Poisson block's regime (dense-path cap)
+        A = (Q * np.geomspace(1.0, 1e4, n)) @ Q.T
+        X = np.asarray(_ns_inverse(jnp.asarray(A, jnp.float32), 40))
+        err = np.linalg.norm(np.eye(n) - A @ X, ord=2)
+        # terminal ~kappa*eps_f32 ~ 6e-4; refinement contracts by this
+        # factor per sweep, so <1e-2 is ample for 4 sweeps to ~1e-12.
+        assert err < 1e-2, err
+
+    def test_refined_solve_ns_matches_exact(self):
+        from meshdqn_tpu.solver.fused import _refined_solve
+
+        rng = np.random.default_rng(2)
+        n = 200
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        A = (Q * np.geomspace(1.0, 2e3, n)) @ Q.T
+        B = rng.standard_normal((n, 8))
+        X_exact = np.linalg.solve(A, B)
+        X = np.asarray(
+            _refined_solve(
+                jnp.asarray(A, jnp.float64), jnp.asarray(B, jnp.float64),
+                iters=4, chunk=8, inv_iters=40,
+            )
+        )
+        rel = np.abs(X - X_exact).max() / np.abs(X_exact).max()
+        assert rel < 1e-9, rel
+
+
 class TestPrecisionModes:
     def test_f32_tracks_f64_short_horizon(self, ys930_mesh, solver64):
         s32 = IPCSSolver(ys930_mesh, IPCSConfig(precision="f32"))
