@@ -429,28 +429,39 @@ class Trainer:
 
     def _maybe_recycle(self):
         """Exit(75) for a lossless watchdog restart once the axon H2D
-        retention (docs/AXON.md) has grown RSS past the watermark."""
-        try:
-            rss_kb = int(
-                open("/proc/self/status").read().split("VmRSS:")[1].split()[0]
-            )
-        except Exception:
-            return
-        if rss_kb < self._rss_limit_kb:
-            return
+        retention (docs/AXON.md) has grown RSS past the watermark; exit(0)
+        losslessly when a STOP file appears in the run dir (lets an
+        operator end a run without losing the replay ring to a kill)."""
+        stop = os.path.exists(os.path.join(self.save_dir, "STOP"))
+        rss_kb = 0
+        if not stop:
+            try:
+                rss_kb = int(
+                    open("/proc/self/status").read().split("VmRSS:")[1].split()[0]
+                )
+            except Exception:
+                return
+            if rss_kb < self._rss_limit_kb:
+                return
         self._flush_optimize()
         self.metrics.write()
         self.replay.save(self._replay_path)
         self._last_saved_episode = -1  # force a fresh checkpoint
         self._save_checkpoint()
         self.jsonlog.log(
-            "recycle", rss_gb=round(rss_kb / 1024 / 1024, 1),
+            "stop" if stop else "recycle",
+            rss_gb=round(rss_kb / 1024 / 1024, 1),
             episode=self.state.episode, global_step=self.state.global_step,
         )
         import sys
 
+        if stop:
+            try:
+                os.remove(os.path.join(self.save_dir, "STOP"))
+            except OSError:
+                pass
         sys.stdout.flush(); sys.stderr.flush()
-        os._exit(75)
+        os._exit(0 if stop else 75)
 
     def _save_checkpoint(self):
         if self.state.episode == self._last_saved_episode:
