@@ -80,6 +80,47 @@ class TestTrainerResume:
         s2 = tr2.train(max_steps=tr2.state.global_step + 4)
         assert s2["global_steps"] >= s1["global_steps"]
 
+    def test_stop_file_lossless_shutdown(
+        self, small_config, ground_truth, tmp_path, monkeypatch
+    ):
+        """A STOP file in the run dir ends the run via _maybe_recycle with
+        exit code 0 after saving EVERYTHING (checkpoint + metrics + replay
+        ring), and a fresh Trainer resumes bit-losslessly."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "stop_"
+        cfg.agent.num_parallel = 1
+        cfg.optimizer.batch_size = 4
+
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.train(max_steps=5)  # accumulate replay + optimizer state
+
+        open(os.path.join(tr.save_dir, "STOP"), "w").close()
+
+        class _Exit(Exception):
+            pass
+
+        monkeypatch.setattr(os, "_exit", lambda code: (_ for _ in ()).throw(_Exit(code)))
+        with pytest.raises(_Exit) as ei:
+            tr.train(num_episodes=10**6, max_steps=10**9)
+        assert ei.value.args[0] == 0, "STOP exit must be rc=0 (loop terminates)"
+        assert not os.path.exists(os.path.join(tr.save_dir, "STOP"))
+        events = [
+            json.loads(line)["event"]
+            for line in open(os.path.join(tr.save_dir, "train_log.jsonl"))
+        ]
+        assert "stop" in events
+
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        assert tr2.state.global_step == tr.state.global_step
+        assert tr2.state.episode == tr.state.episode
+        assert len(tr2.replay) == len(tr.replay)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tr.dqn.params1),
+            jax.tree_util.tree_leaves(tr2.dqn.params1),
+        ):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
     def test_metrics_artifacts_reference_compatible(
         self, small_config, ground_truth, tmp_path
     ):
