@@ -56,17 +56,23 @@ def _triangulate(points: np.ndarray, backend: str) -> np.ndarray:
 
     backend 'native' uses our Bowyer–Watson C++ core (meshdqn_tpu/native),
     which reproduces Qhull's triangle set exactly on the stock meshes
-    (tests/test_native.py); 'scipy' is the Qhull path the reference uses.
-    'auto' prefers native with scipy fallback.
+    (tests/test_native.py); 'scipy' is the Qhull path the reference uses
+    (Env2DAirfoil.py:487).  'auto' prefers scipy — identical output, and
+    Qhull is ~1.7x faster at these sizes (876 pts: 14 vs 24 ms/call on the
+    training host), which matters because this is the single largest host
+    cost of the env step — with the native core as fallback.
     """
-    if backend in ("auto", "native"):
+    if backend == "native":
+        from ..native import delaunay_native
+
+        return delaunay_native(points)
+    if backend == "auto":
         try:
+            return Delaunay(points).simplices.astype(np.int32)
+        except QhullError:
             from ..native import delaunay_native
 
             return delaunay_native(points)
-        except RuntimeError:
-            if backend == "native":
-                raise
     return Delaunay(points).simplices.astype(np.int32)
 
 

@@ -321,9 +321,17 @@ class Trainer:
                 tacc["prep"] += time.time() - _t0; _t0 = time.time()
             results: dict[int, tuple] = {}
             removal_idx = [i for i, p in enumerate(preps) if p.inputs is not None]
+            gather_idx = [
+                i for i, p in enumerate(preps) if p.post_window is not None
+            ]
+            # Dispatch BOTH independent device calls before either host
+            # readback: removal products and window gathers touch disjoint
+            # envs (a step is either a removal or a window shift), so the
+            # two tunnel round-trips pipeline instead of serializing.
+            prod_handle = None
             if removal_idx:
                 try:
-                    outs = self._shared_transfer.run_products_batched(
+                    prod_handle = self._shared_transfer.run_products_batched_begin(
                         [preps[i].inputs for i in removal_idx],
                         pad_to=n_envs,
                         # f32 wire: halves the dominant per-sweep upload;
@@ -331,21 +339,30 @@ class Trainer:
                         # so this adds no observable error (docs/AXON.md).
                         wire="f32",
                     )
-                    results = dict(zip(removal_idx, outs))
                 except Exception:
-                    results = {}  # every pending removal rolls back
-            if timing:
-                tacc["dev"] += time.time() - _t0; _t0 = time.time()
-            gather_idx = [
-                i for i, p in enumerate(preps) if p.post_window is not None
-            ]
+                    prod_handle = None  # every pending removal rolls back
+            gather_handle = None
             if gather_idx:
-                feats = self._shared_transfer.gather_window_batched(
+                gather_handle = self._shared_transfer.gather_window_batched_begin(
                     [
                         (self.envs[i]._dev_snaps, preps[i].post_window)
                         for i in gather_idx
                     ],
                     pad_to=n_envs,
+                )
+            if prod_handle is not None:
+                try:
+                    outs = self._shared_transfer.run_products_batched_finish(
+                        prod_handle
+                    )
+                    results = dict(zip(removal_idx, outs))
+                except Exception:
+                    results = {}  # every pending removal rolls back
+            if timing:
+                tacc["dev"] += time.time() - _t0; _t0 = time.time()
+            if gather_handle is not None:
+                feats = self._shared_transfer.gather_window_batched_finish(
+                    gather_handle
                 )
                 for i, (vel_w, p_w) in zip(gather_idx, feats):
                     self.envs[i]._cached_state_inputs = (

@@ -381,6 +381,19 @@ class SnapshotTransfer:
         Returns a list of (dev_snaps, finite, drags, lifts, vel_w, p_w) in
         input order.
         """
+        return self.run_products_batched_finish(
+            self.run_products_batched_begin(inputs, pad_to, wire)
+        )
+
+    def run_products_batched_begin(
+        self, inputs: list[dict], pad_to: int, wire: str = "f64"
+    ):
+        """Dispatch half of run_products_batched: enqueue the device call
+        and return a handle WITHOUT the host readback.  Lets the caller
+        overlap this call's device execution/readback with other
+        independent device work on a high-latency link (the trainer sweep
+        overlaps it with the window-feature gather — the two round-trips
+        pipeline instead of serializing)."""
         assert inputs and len(inputs) <= pad_to
         if wire == "f32":
             kq = 4
@@ -414,6 +427,11 @@ class SnapshotTransfer:
                 stk("probe_p", jnp.float64),
                 stk("widx"),
             )
+        return (uv, pv, small, list(inputs))
+
+    def run_products_batched_finish(self, handle):
+        """Readback half of run_products_batched (see _begin)."""
+        uv, pv, small, inputs = handle
         smalls = np.asarray(small)  # ONE readback for the whole sweep
         out = []
         for b, inp in enumerate(inputs):
@@ -425,6 +443,14 @@ class SnapshotTransfer:
         """Batched window-feature gather for window-shift steps:
         items = [(dev_snaps, window), ...] -> [(vel_w, p_w), ...].
         Padded to a static batch size so the module compiles once."""
+        return self.gather_window_batched_finish(
+            self.gather_window_batched_begin(items, pad_to)
+        )
+
+    def gather_window_batched_begin(
+        self, items: list[tuple], pad_to: int | None = None
+    ):
+        """Dispatch half of gather_window_batched (no host readback)."""
         pad_to = pad_to or len(items)
         padded = items + [items[0]] * (pad_to - len(items))
         uv = jnp.stack([d[0] for d, _ in padded])
@@ -433,8 +459,15 @@ class SnapshotTransfer:
         widx = np.zeros((pad_to, W), dtype=np.int32)
         for b, (_, window) in enumerate(padded):
             widx[b, : len(window)] = window
-        smalls = np.asarray(_gather_window_batched(uv, pv, jnp.asarray(widx)))
+        small = _gather_window_batched(uv, pv, jnp.asarray(widx))
+        return (small, list(items))
+
+    def gather_window_batched_finish(self, handle):
+        """Readback half of gather_window_batched (see _begin)."""
+        small, items = handle
+        smalls = np.asarray(small)
         S = len(self.u_src)
+        W = self.window_budget
         out = []
         for b, (_, window) in enumerate(items):
             k = len(window)
