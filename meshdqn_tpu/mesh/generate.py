@@ -181,7 +181,11 @@ def generate_channel_mesh(
         pts = np.vstack([pts, cand[sel]])
 
     # --- final triangulation + hole carving ------------------------------
-    for _ in range(max(1, smooth_iters)):
+    # smooth_iters + 1 passes: each of the first smooth_iters passes
+    # re-triangulates then moves points; the final pass re-triangulates the
+    # LAST move and breaks, so the returned cells are always a Delaunay
+    # triangulation of the returned coordinates.
+    for _ in range(smooth_iters + 1):
         tri = Delaunay(pts)
         simp = tri.simplices
         centroid = pts[simp].mean(axis=1)

@@ -156,6 +156,7 @@ class Trainer:
             float(os.environ.get("MESHDQN_RSS_LIMIT_GB", "60")) * 1024 * 1024
         )
         self._replay_path = os.path.join(self.save_dir, "replay.npz")
+        self._infra_fail_streak = 0
 
         if resume:
             restored = self.ckpt.restore(self.dqn)
@@ -329,6 +330,7 @@ class Trainer:
             # envs (a step is either a removal or a window shift), so the
             # two tunnel round-trips pipeline instead of serializing.
             prod_handle = None
+            infra_fail = False
             if removal_idx:
                 try:
                     prod_handle = self._shared_transfer.run_products_batched_begin(
@@ -340,7 +342,7 @@ class Trainer:
                         wire="f32",
                     )
                 except Exception:
-                    prod_handle = None  # every pending removal rolls back
+                    infra_fail = True
             gather_handle = None
             if gather_idx:
                 gather_handle = self._shared_transfer.gather_window_batched_begin(
@@ -357,7 +359,35 @@ class Trainer:
                     )
                     results = dict(zip(removal_idx, outs))
                 except Exception:
-                    results = {}  # every pending removal rolls back
+                    infra_fail = True
+            if infra_fail:
+                # A device/link failure in the BATCHED pass says nothing
+                # about any individual mesh: abort the removing envs' steps
+                # entirely (prepare_step left their state untouched) rather
+                # than recording num_parallel false broken-mesh terminals in
+                # the replay ring.  Genuine numerical breakage is reported
+                # per env through the `finite` flags, never as an exception.
+                self.jsonlog.log(
+                    "infra_abort",
+                    envs=len(removal_idx),
+                    global_step=self.state.global_step,
+                )
+                # Transient blips are absorbed (the aborted envs simply
+                # retry next sweep); a PERSISTENT outage must crash so the
+                # outer loop restarts the process with a fresh device
+                # client — aborted sweeps advance no counters, so without
+                # this the spin would also keep the jsonl fresh enough to
+                # fool the stall watchdog.
+                self._infra_fail_streak += 1
+                if self._infra_fail_streak >= 5:
+                    raise RuntimeError(
+                        "batched env device pass failed "
+                        f"{self._infra_fail_streak} sweeps in a row; "
+                        "restart the process (run_train_loop.sh resumes "
+                        "losslessly from the latest checkpoint)"
+                    )
+            elif removal_idx:
+                self._infra_fail_streak = 0
             if timing:
                 tacc["dev"] += time.time() - _t0; _t0 = time.time()
             if gather_handle is not None:
@@ -374,6 +404,8 @@ class Trainer:
                 tacc["gather"] += time.time() - _t0; _t0 = time.time()
 
             for i, env in enumerate(self.envs):
+                if infra_fail and preps[i].inputs is not None:
+                    continue  # aborted removal: the step never happened
                 eps_val = eps_sweep[i]
                 action = actions[i]
                 nxt, rew, done, info = env.complete_step(preps[i], results.get(i))

@@ -121,6 +121,39 @@ class TestTrainerResume:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_infra_failure_aborts_sweep_without_poisoning_replay(
+        self, small_config, ground_truth, tmp_path, monkeypatch
+    ):
+        """A device/link exception in the BATCHED removal pass must abort
+        the affected steps (no transitions, no counters) instead of pushing
+        false broken-mesh terminals — and a persistent outage must crash
+        the process after a bounded streak for the outer loop to restart."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "infra_"
+        cfg.agent.num_parallel = 2
+        cfg.optimizer.batch_size = 4
+
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+
+        def boom(*a, **k):
+            raise RuntimeError("link down")
+
+        monkeypatch.setattr(
+            type(tr._shared_transfer), "run_products_batched_begin", boom
+        )
+        with pytest.raises(RuntimeError, match="sweeps in a row"):
+            tr.train(num_episodes=10**6, max_steps=10**9)
+
+        events = [
+            json.loads(line)["event"]
+            for line in open(os.path.join(tr.save_dir, "train_log.jsonl"))
+        ]
+        assert events.count("infra_abort") >= 5
+        # Completed (non-aborted) steps push exactly one transition each;
+        # aborted steps push nothing and advance no counters.
+        assert len(tr.replay) == tr.state.global_step
+
     def test_metrics_artifacts_reference_compatible(
         self, small_config, ground_truth, tmp_path
     ):
