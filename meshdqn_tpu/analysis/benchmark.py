@@ -280,6 +280,13 @@ def sweep_overlay_figure(
     qcol = quantity.upper()
     gen = load_sweep(gen_csv).dropna(subset=[qcol]).sort_values("NUM_COORDS")
     ref = load_sweep(ref_csv).dropna(subset=[qcol]).sort_values("NUM_COORDS")
+    # The reference CSVs contain DIVERGED coarse-mesh rows (e.g.
+    # smooth_ah93w145…csv:37-38, drag ~3e7) alongside the NaN rows; any
+    # physically plausible force here is O(0.1), so drop |q| > 1 before
+    # fitting the trend (the reference's own figures hide these rows via
+    # zoomed axes, analyze_benchmark.py:226+).
+    gen = gen[gen[qcol].abs() < 1.0]
+    ref = ref[ref[qcol].abs() < 1.0]
 
     import matplotlib
 
