@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Persist / restore slim training resume packs across repo clones.
+
+`training_results/` is gitignored (replay rings and event logs grow to
+hundreds of MB), which means trained policies are lost whenever the build
+moves to a fresh clone.  This tool copies the SMALL, sufficient subset of a
+run directory into `checkpoints/<run>/` (committed) and back:
+
+  * ckpt/step_<latest>/    — orbax tree (both nets + optimizer states) and
+                             the counters sidecar (train/checkpoint.py)
+  * *_reward.npy, *_ep_rewards.npy, *_losses.npy, *_actions.npy, *_eps.npy
+    — metrics arrays so resumed runs keep their full learning curves
+  * ground_truth.npz + ground_truth_meta.json — skips the ~15 min
+    fresh-prefix ground-truth solve on restore (fingerprint-guarded by
+    train/gtcache.py, so a stale pack is recomputed, never trusted)
+  * config.yaml — provenance
+
+The replay ring (replay.npz) and train_log.jsonl are deliberately NOT
+packed: the ring re-warms within ~batch_size env steps and the JSONL is an
+append-only event log, not resume state.
+
+Usage:
+  python scripts/snapshot_checkpoint.py save   <run>   # training_results/<run> -> checkpoints/<run>
+  python scripts/snapshot_checkpoint.py restore <run>  # checkpoints/<run> -> training_results/<run>
+  python scripts/snapshot_checkpoint.py restore --all  # every packed run
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNS = os.path.join(REPO, "training_results")
+PACKS = os.path.join(REPO, "checkpoints")
+
+METRIC_SUFFIXES = ("reward", "ep_rewards", "losses", "actions", "eps")
+
+
+def _latest_ckpt_step(ckpt_dir: str) -> str | None:
+    steps = []
+    for name in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
+        if name.startswith("step_") and os.path.exists(
+            os.path.join(ckpt_dir, name, "extras.json")
+        ):
+            steps.append(int(name.split("_", 1)[1]))
+    return f"step_{max(steps)}" if steps else None
+
+
+def save(run: str) -> None:
+    src = os.path.join(RUNS, run)
+    dst = os.path.join(PACKS, run)
+    step = _latest_ckpt_step(os.path.join(src, "ckpt"))
+    if step is None:
+        sys.exit(f"no complete checkpoint under {src}/ckpt")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
+    shutil.copytree(
+        os.path.join(src, "ckpt", step), os.path.join(dst, "ckpt", step)
+    )
+    copied = [f"ckpt/{step}"]
+    for pattern in ("*.npy", "config.yaml", "ground_truth.npz",
+                    "ground_truth_meta.json"):
+        for path in glob.glob(os.path.join(src, pattern)):
+            base = os.path.basename(path)
+            if pattern == "*.npy" and not any(
+                base.endswith(f"_{s}.npy") for s in METRIC_SUFFIXES
+            ):
+                continue
+            shutil.copy2(path, os.path.join(dst, base))
+            copied.append(base)
+    with open(os.path.join(src, "ckpt", step, "extras.json")) as f:
+        extras = json.load(f)
+    with open(os.path.join(dst, "PACK.json"), "w") as f:
+        json.dump({"run": run, "step": step, **extras}, f, indent=1)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(dst)
+        for f in fs
+    )
+    print(f"packed {run}: {copied} ({total / 1e6:.1f} MB) -> {dst}")
+
+
+def restore(run: str) -> None:
+    src = os.path.join(PACKS, run)
+    dst = os.path.join(RUNS, run)
+    if not os.path.isdir(src):
+        sys.exit(f"no pack at {src}")
+    step = _latest_ckpt_step(os.path.join(src, "ckpt"))
+    if step is None:
+        sys.exit(f"pack {src} has no complete checkpoint")
+    dst_step = os.path.join(dst, "ckpt", step)
+    if os.path.exists(dst_step):
+        print(f"{dst_step} already present; leaving run dir untouched")
+        return
+    os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
+    shutil.copytree(os.path.join(src, "ckpt", step), dst_step)
+    for path in glob.glob(os.path.join(src, "*")):
+        base = os.path.basename(path)
+        if base in ("PACK.json", "ckpt"):
+            continue
+        if not os.path.exists(os.path.join(dst, base)):
+            shutil.copy2(path, os.path.join(dst, base))
+    print(f"restored {run} at {step} -> {dst}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["save", "restore"])
+    ap.add_argument("run", nargs="?", help="run directory name (prefix sans trailing _)")
+    ap.add_argument("--all", action="store_true", help="restore every packed run")
+    args = ap.parse_args(argv)
+    if args.mode == "save":
+        if not args.run:
+            sys.exit("save requires a run name")
+        save(args.run)
+    else:
+        runs = (
+            sorted(os.listdir(PACKS))
+            if args.all
+            else [args.run]
+            if args.run
+            else sys.exit("restore requires a run name or --all")
+        )
+        for run in runs:
+            if os.path.isdir(os.path.join(PACKS, run)):
+                restore(run)
+
+
+if __name__ == "__main__":
+    main()
