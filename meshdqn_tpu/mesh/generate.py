@@ -6,12 +6,22 @@ an external mesh generator that is not in the repo.  This module regenerates
 that family from geometry alone, so the de-facto regression table
 (analyze_benchmark.py:25-33) can be reproduced from scratch:
 
-* the airfoil geometry is a periodic cubic spline through the stock mesh's
-  boundary ring (the best available description of the true section);
-* sizing mirrors the stock meshes: h = resolution/AIRFOIL_REFINE on the
-  airfoil surface, grading linearly with distance up to h = resolution in
-  the far field (measured on ys930_0.15: ring spacing 0.019 ~ res/8,
-  far-field edges ~ res);
+* the airfoil geometry is the stock mesh's boundary ring VERBATIM — the
+  reference's own sweep reused one fixed airfoil polygon at every
+  resolution (its CSVs repeat NUM_COORDS across coarse resolutions, drag
+  stays geometry-converged at ~-0.113 up to resolution 0.34, and the
+  stock ring carries the coordinate file's leading/trailing-edge
+  clustering: ys930 segment lengths 0.0009-0.0275 around a 0.0186
+  median).  A periodic-spline resampling (`ring_mode='spline'`, the
+  pre-round-2 default) destroys that clustering and measurably biases
+  drag (-0.1076 vs -0.1131 at resolution 0.15);
+* sizing is calibrated against the stock meshes' measured size field:
+  near-wall size is GEOMETRY-derived (the ring's local segment length
+  clipped to [0.25, 1.0] x its median — the reference's NUM_COORDS curve
+  shows the airfoil lcar did not scale with resolution), growing to
+  h = resolution along the normalized transition curve measured on the
+  stock mesh (TRANSITION_D/F below); generated NUM_COORDS then track the
+  reference CSVs within ~10% over resolutions 0.05-0.3 on BOTH airfoils;
 * interior points come from Delaunay refinement (insert the circumcenter of
   any triangle whose circumradius exceeds the local size target — a
   Ruppert-style loop with boundary protection), followed by a few Laplacian
@@ -32,8 +42,19 @@ from scipy.spatial import Delaunay, cKDTree
 from .marking import X_MAX, X_MIN, Y_MAX, Y_MIN
 from .trimesh import TriMesh
 
-AIRFOIL_REFINE = 8.0  # h_airfoil = resolution / AIRFOIL_REFINE
-GRADING = 0.35  # h grows by GRADING per unit distance from the airfoil
+AIRFOIL_REFINE = 8.0  # nominal h_airfoil = resolution / AIRFOIL_REFINE
+GRADING = 0.35  # legacy spline-mode grading (h per unit distance)
+SIZE_CLIP = (0.25, 1.0)  # local ring size clip, in units of median segment
+# Verbatim mode: normalized size transition (h - s)/(h_far - s) as a
+# function of distance to the airfoil, measured on the stock ys930 mesh
+# (mean incident edge length per wall-distance bin; the same normalized
+# curve fits ah93w145).  gmsh-style generators interpolate sizes from ALL
+# boundaries, so the transition is domain-driven and resolution-invariant.
+TRANSITION_D = (0.0, 0.035, 0.075, 0.15, 0.25, 0.4, 0.65, 1.0)
+TRANSITION_F = (0.0, 0.073, 0.169, 0.339, 0.5, 0.766, 0.935, 1.0)
+REFINE_FACTOR = 0.77  # split when circumradius exceeds this x target size
+# (tuned so generated NUM_COORDS track the reference CSV within ~10%
+# across resolutions 0.05-0.3)
 
 
 def spline_ring(ring: np.ndarray, spacing: float) -> np.ndarray:
@@ -81,6 +102,12 @@ def _in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return Path(ring).contains_points(pts)
 
 
+def _dedup_ring(ring: np.ndarray) -> np.ndarray:
+    pts = np.asarray(ring, dtype=np.float64)
+    d = np.linalg.norm(np.diff(np.vstack([pts, pts[:1]]), axis=0), axis=1)
+    return pts[d > 1e-12]
+
+
 def generate_channel_mesh(
     airfoil_ring: np.ndarray,
     resolution: float,
@@ -89,22 +116,48 @@ def generate_channel_mesh(
     smooth_iters: int = 8,
     max_rounds: int = 60,
     seed: int = 0,
+    ring_mode: str = "verbatim",
 ) -> TriMesh:
     """Generate a graded triangulation of the channel around the airfoil.
 
     airfoil_ring: (K, 2) ordered geometry ring (e.g. from airfoil_polyline
-    on a stock mesh, or spline_ring output).  resolution: the reference
-    sweep's size parameter (benchmark CSV RESOLUTION column).
+    on a stock mesh).  resolution: the reference sweep's size parameter
+    (benchmark CSV RESOLUTION column).  ring_mode: 'verbatim' keeps the
+    geometry polygon fixed across resolutions (the reference generator's
+    behaviour — see module docstring); 'spline' resamples it uniformly at
+    resolution/airfoil_refine (legacy behaviour, kept for comparison).
     """
     h_near = resolution / airfoil_refine
     h_far = resolution
 
+    # --- boundary discretization --------------------------------------
+    if ring_mode == "verbatim":
+        ring = _dedup_ring(airfoil_ring)
+        seg = np.linalg.norm(
+            np.diff(np.vstack([ring, ring[:1]]), axis=0), axis=1
+        )
+        local = 0.5 * (seg + np.roll(seg, 1))  # mean adjacent segment
+        # Near-wall size is GEOMETRY-derived, not resolution-derived: the
+        # reference's NUM_COORDS curve (876@0.15 -> 3395@0.05, not the
+        # ~7900 a res-proportional wall size would give) shows its
+        # generator kept the airfoil lcar fixed while only the far field
+        # scaled with resolution.
+        med = np.median(seg)
+        ring_size = np.clip(local, SIZE_CLIP[0] * med, SIZE_CLIP[1] * med)
+    elif ring_mode == "spline":
+        ring = spline_ring(airfoil_ring, h_near)
+        ring_size = np.full(len(ring), h_near)
+    else:
+        raise ValueError(f"unknown ring_mode {ring_mode!r}")
+    ring_tree = cKDTree(ring)
+
     def h_of(pts: np.ndarray) -> np.ndarray:
         d = _ring_distance(pts, ring)
+        if ring_mode == "verbatim":
+            s = ring_size[ring_tree.query(np.asarray(pts, np.float64))[1]]
+            frac = np.interp(d, TRANSITION_D, TRANSITION_F)
+            return np.minimum(h_far, s + (h_far - s) * frac)
         return np.minimum(h_far, h_near + grading * d * (h_far - h_near) / h_far)
-
-    # --- boundary discretization --------------------------------------
-    ring = spline_ring(airfoil_ring, h_near)
     nx = max(2, int(round((X_MAX - X_MIN) / h_far)))
     ny = max(2, int(round((Y_MAX - Y_MIN) / h_far)))
     xs = np.linspace(X_MIN, X_MAX, nx + 1)
@@ -124,7 +177,13 @@ def generate_channel_mesh(
     pts = fixed.copy()
 
     # --- Delaunay refinement -------------------------------------------
-    inside_margin = 0.4 * h_near
+    def inside_margin(pts: np.ndarray) -> np.ndarray:
+        """Per-point keep-out distance from the ring: local in verbatim
+        mode so the clustered leading/trailing-edge segments still admit
+        nearby interior points."""
+        if ring_mode == "verbatim":
+            return 0.4 * ring_size[ring_tree.query(np.asarray(pts, np.float64))[1]]
+        return np.full(len(pts), 0.4 * h_near)
     for _ in range(max_rounds):
         tri = Delaunay(pts)
         simp = tri.simplices
@@ -143,7 +202,7 @@ def generate_channel_mesh(
         centroid = (a + b + c) / 3.0
         live = ~_in_ring(centroid, ring)  # ignore hole triangles
         target = h_of(centroid)
-        over = live & (R > 0.72 * target)
+        over = live & (R > REFINE_FACTOR * target)
 
         cand = cc[over]
         if not len(cand):
@@ -155,7 +214,7 @@ def generate_channel_mesh(
             & (cand[:, 1] > Y_MIN + 0.3 * h_far)
             & (cand[:, 1] < Y_MAX - 0.3 * h_far)
             & ~_in_ring(cand, ring)
-            & (_ring_distance(cand, ring) > inside_margin)
+            & (_ring_distance(cand, ring) > inside_margin(cand))
         )
         cand = cand[ok]
         if not len(cand):

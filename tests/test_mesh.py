@@ -156,9 +156,38 @@ class TestGeneratedMesh:
         coarse = generate_channel_mesh(ring, 0.3)
         fine = generate_channel_mesh(ring, 0.18)
         assert coarse.num_vertices < fine.num_vertices
-        # stock ys930 is resolution 0.15 with 876 vertices; the generator
-        # tracks the reference curve within ~20% at nearby resolutions
-        assert 200 <= coarse.num_vertices <= 500
+        # reference CSV: 467 verts at resolution 0.30; the generator
+        # tracks the reference curve within ~15%
+        assert 400 <= coarse.num_vertices <= 540
+
+    def test_verbatim_ring_preserved_and_counts_track_reference(
+        self, ys930_path
+    ):
+        """Default ring_mode='verbatim' keeps the geometry polygon EXACTLY
+        (the reference sweep reused one fixed airfoil polygon across all
+        resolutions — its LE/TE point clustering is part of the geometry;
+        losing it biased drag by ~5% at resolution 0.15)."""
+        import numpy as np
+
+        from meshdqn_tpu.mesh import read_xdmf
+        from meshdqn_tpu.mesh.marking import airfoil_polyline
+        from meshdqn_tpu.mesh.generate import generate_channel_mesh
+
+        ring = airfoil_polyline(read_xdmf(ys930_path))
+        for res in (0.25, 0.15):
+            mesh = generate_channel_mesh(ring, res)
+            # ring vertices lead the coordinate array, in order, verbatim
+            np.testing.assert_allclose(mesh.coords[: len(ring)], ring)
+            recovered = airfoil_polyline(mesh)
+            assert len(recovered) == len(ring)
+        # reference CSV row at the stock resolution: 876 verts @ 0.15
+        assert abs(mesh.num_vertices - 876) / 876 < 0.15
+        # spline mode (legacy) resamples the ring uniformly instead
+        spl = generate_channel_mesh(ring, 0.15, ring_mode="spline")
+        seg = np.linalg.norm(
+            np.diff(spl.coords[:100], axis=0), axis=1
+        )
+        assert seg.std() / seg.mean() < 0.25  # ~uniform spacing
 
     def test_in_ring_includes_every_ring_vertex_region(self):
         """Path(ring, closed=True) silently drops the LAST vertex's
