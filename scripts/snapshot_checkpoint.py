@@ -8,7 +8,7 @@ run directory into `checkpoints/<run>/` (committed) and back:
 
   * ckpt/step_<latest>/    — orbax tree (both nets + optimizer states) and
                              the counters sidecar (train/checkpoint.py)
-  * *_reward.npy, *_ep_rewards.npy, *_losses.npy, *_actions.npy, *_eps.npy
+  * *_reward.npy, *_rewards.npy, *_losses.npy, *_actions.npy, *_eps.npy
     — metrics arrays so resumed runs keep their full learning curves
   * ground_truth.npz + ground_truth_meta.json — skips the ~15 min
     fresh-prefix ground-truth solve on restore (fingerprint-guarded by
@@ -37,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "training_results")
 PACKS = os.path.join(REPO, "checkpoints")
 
-METRIC_SUFFIXES = ("reward", "ep_rewards", "losses", "actions", "eps")
+METRIC_SUFFIXES = ("reward", "rewards", "losses", "actions", "eps")
 
 
 def _latest_ckpt_step(ckpt_dir: str) -> str | None:

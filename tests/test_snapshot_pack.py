@@ -30,7 +30,7 @@ def _fake_run(run_dir, prefix="fake_results_", steps=(3, 7)):
     mgr = CheckpointManager(os.path.join(run_dir, "ckpt"))
     for s in steps:
         mgr.save(s, state, {"global_step": s, "episode": s // 2})
-    for suffix in ("reward", "ep_rewards", "losses", "actions", "eps"):
+    for suffix in ("reward", "rewards", "losses", "actions", "eps"):
         np.save(os.path.join(run_dir, f"{prefix}{suffix}.npy"),
                 np.arange(4, dtype=np.float64))
     np.savez(os.path.join(run_dir, "ground_truth.npz"), x=np.ones(3))
