@@ -99,3 +99,37 @@ class TestTrainCli:
         summary = json.loads(r.stdout.strip().splitlines()[-1])
         assert summary["global_steps"] == 5
         assert os.path.exists(tmp_path / "out" / "smoke" / "ground_truth.npz")
+
+
+class TestStatusCli:
+    def test_status_summarizes_run(self, tmp_path, capsys):
+        import json
+        import time
+
+        from meshdqn_tpu.cli.status import main, run_status
+
+        run = tmp_path / "demo_results"
+        run.mkdir()
+        t0 = time.time() - 10
+        with open(run / "train_log.jsonl", "w") as f:
+            f.write(json.dumps({"event": "gt", "ts": t0 - 5}) + "\n")
+            for i in range(5):
+                f.write(json.dumps({
+                    "event": "episode", "ts": t0 + 2 * i, "episode": i + 1,
+                    "env": 0, "steps": 4, "reward": float(i),
+                    "eps": 0.5, "global_step": 4 * (i + 1),
+                }) + "\n")
+        st = run_status(str(run))
+        assert st["episode"] == 5 and st["global_step"] == 20
+        assert st["env_steps_per_s"] == 2.0  # 16 steps over 8 s
+        assert st["reward_last"] == 4.0
+        main(["--runs-dir", str(tmp_path)])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1 and json.loads(out[0])["run"] == "demo_results"
+
+    def test_status_empty_run_is_silent(self, tmp_path, capsys):
+        from meshdqn_tpu.cli.status import main
+
+        (tmp_path / "empty").mkdir()
+        main(["--runs-dir", str(tmp_path)])
+        assert capsys.readouterr().out.strip() == ""
