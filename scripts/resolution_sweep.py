@@ -110,12 +110,34 @@ def main(argv=None):
                 pad_quantum=args.pad_quantum if fused else 0,
             )
             try:
-                solver = IPCSSolver(mesh, cfg)
-                t0 = time.time()
-                sol = solver.solve(args.steps, save_steps=args.save_steps)
-                drag = float(sol["snap_drags"][-1])
-                lift = float(sol["snap_lifts"][-1])
-                wall = time.time() - t0
+                # Per-row deadline (same pattern as bench.py): a crashed
+                # remote worker can HANG a device call forever, which would
+                # silently stall every remaining row.  SIGALRM turns that
+                # into a recorded failure instead.  Finest CG rows run
+                # ~25 min; the deadline scales with the step count.
+                import signal
+
+                def _deadline(signum, frame):
+                    raise TimeoutError("row deadline exceeded")
+
+                deadline_s = int(
+                    os.environ.get(
+                        "SWEEP_ROW_DEADLINE_S",
+                        str(max(1800, int(0.6 * args.steps))),
+                    )
+                )
+                old = signal.signal(signal.SIGALRM, _deadline)
+                signal.alarm(deadline_s)
+                try:
+                    solver = IPCSSolver(mesh, cfg)
+                    t0 = time.time()
+                    sol = solver.solve(args.steps, save_steps=args.save_steps)
+                    drag = float(sol["snap_drags"][-1])
+                    lift = float(sol["snap_lifts"][-1])
+                    wall = time.time() - t0
+                finally:
+                    signal.alarm(0)
+                    signal.signal(signal.SIGALRM, old)
             except Exception as e:  # record the failure, keep sweeping
                 print(f"res {res}: FAILED {type(e).__name__}: {e}", flush=True)
                 continue
