@@ -21,9 +21,12 @@ for i in $(seq 1 1000); do
     if [ -f "$JL" ]; then
       MT=$(stat -c %Y "$JL")
       # Only a stall if THIS invocation already produced events (mtime
-      # after start) and then went quiet, or the run never produced any
-      # event for 3x the stall window (covers hangs before first episode;
-      # fresh-prefix GT compute + compiles legitimately take ~15 min).
+      # after start AND file non-empty — the trainer creates the JSONL
+      # empty at init, which must not count as a first event) and then
+      # went quiet, or the run never produced any event for 3x the stall
+      # window (covers hangs before first episode; fresh-prefix GT
+      # compute + contended compiles legitimately take ~15-25 min).
+      if [ ! -s "$JL" ]; then MT=$START; fi
       if [ "$MT" -gt "$START" ] && [ $((NOW - MT)) -gt "$STALL_S" ]; then
         echo "[loop] stall: no events for $((NOW - MT))s; killing $TPID" >> "$LOG"
         kill $TPID
