@@ -85,8 +85,17 @@ def forward(
     g: GraphState,
     topk: float = 0.5,
     embedding: bool = False,
+    head: str = "softmax",
 ):
-    """Single-graph forward pass -> (A,) action distribution.
+    """Single-graph forward pass -> (A,) action values.
+
+    head='softmax' reproduces the reference quirk (softmax over Q-values,
+    airfoilgcnn.py:143); head='linear' returns raw logits as Q-values — the
+    standard DQN head.  Greedy argmax is identical under both (softmax is
+    monotone), but the softmax head couples every action's regression target
+    through the normalization (pushing one Q down pushes all others up),
+    which round-2 training runs showed drives late-training value collapse;
+    'linear' is the training default in the shipped configs.
 
     Batch with jax.vmap(partial(forward, params)).
     """
@@ -114,12 +123,14 @@ def forward(
     h = jax.nn.relu(linear(params["lin1"], h))
     h = jax.nn.relu(linear(params["lin2"], h))
     h = linear(params["lin3"], h)
-    return jax.nn.softmax(h, axis=-1)
+    if head == "softmax":
+        return jax.nn.softmax(h, axis=-1)
+    return h
 
 
-def batched_forward(params, graphs: GraphState, topk: float = 0.5):
+def batched_forward(params, graphs: GraphState, topk: float = 0.5, head: str = "softmax"):
     """graphs: GraphState with a leading batch dim on every leaf -> (B, A)."""
-    return jax.vmap(partial(forward, params, topk=topk))(graphs)
+    return jax.vmap(partial(forward, params, topk=topk, head=head))(graphs)
 
 
 # ----------------------------------------------------------------------

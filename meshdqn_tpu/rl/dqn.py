@@ -47,6 +47,12 @@ class DQNConfig:
     huber_delta: float = 1.0
     milestones: tuple = (500_000, 1_000_000, 1_500_000)
     milestone_gamma: float = 0.1
+    # 'softmax' = reference head quirk (airfoilgcnn.py:143); 'linear' = raw
+    # Q-logits — the stable training default (see models/noderemoval.forward).
+    head: str = "softmax"
+    # Global-norm gradient clipping before the optimizer; 0 disables (the
+    # reference has none — round-2 value divergence motivated adding it).
+    grad_clip: float = 0.0
 
 
 class DQNState(NamedTuple):
@@ -73,11 +79,17 @@ def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
             int(m) // 2: cfg.milestone_gamma for m in cfg.milestones
         },
     )
-    return optax.chain(
+    steps = []
+    if cfg.grad_clip > 0:
+        # torch-style clip_grad_norm_: clip raw gradients before the L2
+        # term and the Adam moments see them.
+        steps.append(optax.clip_by_global_norm(cfg.grad_clip))
+    steps += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(schedule),
-    )
+    ]
+    return optax.chain(*steps)
 
 
 def init_dqn(params1: dict, params2: dict, cfg: DQNConfig) -> DQNState:
@@ -92,15 +104,15 @@ def init_dqn(params1: dict, params2: dict, cfg: DQNConfig) -> DQNState:
     )
 
 
-def _q_values(params, graphs: GraphState, topk: float):
-    return jax.vmap(partial(forward, params, topk=topk))(graphs)  # (B, A)
+def _q_values(params, graphs: GraphState, topk: float, head: str = "softmax"):
+    return jax.vmap(partial(forward, params, topk=topk, head=head))(graphs)  # (B, A)
 
 
 def dqn_loss(online_params, target_params, batch: TransitionBatch, cfg: DQNConfig):
-    q = _q_values(online_params, batch.state, cfg.topk)  # (B, A)
+    q = _q_values(online_params, batch.state, cfg.topk, cfg.head)  # (B, A)
     q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
 
-    q_next = _q_values(target_params, batch.next_state, cfg.topk)
+    q_next = _q_values(target_params, batch.next_state, cfg.topk, cfg.head)
     v_next = jnp.max(q_next, axis=1)
     v_next = jnp.where(batch.non_final, v_next, 0.0)
     target = jax.lax.stop_gradient(batch.reward + cfg.gamma * v_next)

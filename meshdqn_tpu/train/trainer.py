@@ -106,6 +106,8 @@ class Trainer:
             gamma=eps.gamma,
             target_update=agent.target_update,
             topk=0.1,
+            head=agent.head,
+            grad_clip=opt.grad_clip,
         )
         self.dqn = init_dqn(p1, p2, self.dqn_cfg)
         # Multi-chip data parallelism (decided early: it picks the replay

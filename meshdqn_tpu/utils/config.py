@@ -71,6 +71,9 @@ class AgentConfig:
     # whole-params readback per save, which dominates at training scale).
     write_every: int = 25
     checkpoint_every: int = 25
+    # Q-network output head: 'softmax' = reference quirk (airfoilgcnn.py:143),
+    # 'linear' = standard raw-Q head (stable; see models/noderemoval.forward).
+    head: str = "softmax"
 
 
 @dataclass
@@ -78,6 +81,9 @@ class OptimizerConfig:
     lr: float = 1e-5
     weight_decay: float = 1e-6
     batch_size: int = 32
+    # Global-norm gradient clip applied before Adam; 0 = off (reference
+    # parity).  Training configs enable it against value divergence.
+    grad_clip: float = 0.0
 
 
 @dataclass

@@ -176,6 +176,59 @@ class TestDQN:
         mid = epsilon(10000, 1.0, 0.01, 10000)
         assert 0.01 < mid < 1.0
 
+    def test_linear_head_same_argmax_unbounded_values(self):
+        # head='linear' returns the raw logits the softmax head normalizes:
+        # identical greedy argmax, but values are no longer confined to (0,1)
+        # so negative double-DQN targets are representable.
+        p1 = init_params(jax.random.PRNGKey(0), 17, 181, conv_width=8, topk=0.1)
+        g = make_graph(180, 180, [(0, 1), (4, 7)])
+        q_soft = np.asarray(forward(p1, g, topk=0.1, head="softmax"))
+        q_lin = np.asarray(forward(p1, g, topk=0.1, head="linear"))
+        assert int(np.argmax(q_soft)) == int(np.argmax(q_lin))
+        np.testing.assert_allclose(
+            q_soft, jax.nn.softmax(jnp.asarray(q_lin)), rtol=1e-5, atol=1e-6
+        )
+        assert np.all(q_soft >= 0) and np.all(q_soft <= 1)
+        assert q_lin.min() < 0 or q_lin.max() > 1  # unbounded head
+
+    def test_grad_clip_bounds_update_norm(self):
+        # With an absurd lr-free comparison: the clipped update of a single
+        # step must correspond to a gradient of global norm <= grad_clip.
+        import optax
+
+        from meshdqn_tpu.rl.dqn import make_optimizer
+
+        cfg_clip = DQNConfig(lr=1.0, weight_decay=0.0, grad_clip=1e-6)
+        opt = make_optimizer(cfg_clip)
+        params = {"w": jnp.ones((3,)) * 2.0}
+        grads = {"w": jnp.asarray([1e3, -1e3, 1e3])}
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        # scale_by_adam normalizes per-coordinate, so instead verify the
+        # clip transform itself saw a bounded input by checking the chain
+        # without adam: clip -> decay(0) keeps global norm <= grad_clip.
+        clip = optax.clip_by_global_norm(cfg_clip.grad_clip)
+        cupd, _ = clip.update(grads, clip.init(params), params)
+        assert float(optax.global_norm(cupd)) <= cfg_clip.grad_clip * (1 + 1e-6)
+        assert all(np.isfinite(np.asarray(u)).all() for u in jax.tree_util.tree_leaves(updates))
+
+    def test_train_step_linear_head_finite(self):
+        key = jax.random.PRNGKey(0)
+        p1 = init_params(key, 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=3, topk=0.1, head="linear", grad_clip=10.0)
+        state = init_dqn(p1, p2, cfg)
+        buf = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        rng = np.random.default_rng(0)
+        for i in range(10):
+            g = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            g2 = make_graph(10, 10, [(0, 1)], seed=i + 100, e_pad=16)
+            buf.push(g, i % 11, g2 if i % 3 else None, -2.0 + float(i) / 10)
+        for _ in range(4):
+            batch = buf.sample(4, rng)
+            state, loss = train_step(state, batch, cfg)
+            assert np.isfinite(float(loss))
+
     def test_terminal_transitions_masked(self):
         # A terminal next-state contributes 0 to the target regardless of its
         # (zeroed) content.
