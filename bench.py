@@ -1,13 +1,22 @@
-"""Headline benchmark: full 5000-step ys930 transient solve wall-clock.
+"""Driver benchmark: solver wall-clock + end-to-end episode throughput.
 
-Baseline: the reference's FEniCS/MUMPS CPU solve of the same problem takes
-109.06 s (training_results/benchmark_results/smooth_ys930_1.0_0.001_smooth_
-benchmark.csv row 20; BASELINE.md).  We time the identical workload — 5000
-IPCS steps on the stock 876-vertex mesh with per-step drag/lift probes — on
-the attached TPU in the f32 fast path, and report drag accuracy vs the
-reference value alongside.
+Primary metric: the full 5000-step ys930 transient solve (the reference's
+FEniCS/MUMPS CPU baseline is 109.06 s — training_results/benchmark_results/
+smooth_ys930_1.0_0.001_smooth_benchmark.csv row 20; BASELINE.md).  The same
+JSON line also carries:
+  * the ah93w145 stock-mesh solve (baseline 67.26 s, smooth_ah93w145…csv:19)
+  * end-to-end training episode throughput, ms per environment step at
+    num_parallel=32 WITH one gradient step per env step — the BASELINE.md
+    north star is >=10x the reference's CPU env-step cost (~2.6 s/env-step
+    measured for the single-core host-only path in round 1)
 
 Prints ONE JSON line on stdout.
+
+Live training runs are PAUSED (not stopped) for the measurement: a PAUSE
+file makes the trainer checkpoint + exit(76); scripts/run_train_loop.sh
+holds the relaunch while the PAUSED ack exists, and this process removes the
+ack when done, so training resumes losslessly even if the bench dies mid-run
+(the `finally` also runs on the deadline path).
 """
 import glob
 import json
@@ -22,9 +31,18 @@ BASELINE_S = 109.06
 REF_DRAG = -0.1130622
 REF_LIFT = -0.0462851
 MESH = "/root/reference/xdmf_files/ys930_0.15000_triangle.xdmf"
+AH_BASELINE_S = 67.26  # smooth_ah93w145_1.0_0.001_smooth_benchmark.csv:19
+AH_REF_DRAG = -0.1302693
+AH_REF_LIFT = -0.0504921
+AH_MESH = "/root/reference/xdmf_files/ah93w145_0.14000_triangle.xdmf"
+# Round-1 measured cost of the equivalent env step on this host without the
+# TPU (FEniCS-style CPU path: Delaunay + 5-snapshot interpolation + probes
+# + torch-equivalent grad step) — the BASELINE.md episode-throughput anchor.
+EPISODE_BASELINE_S = 2.6
 # The remote TPU compile service has shown multi-minute outages; never hang
 # the harness — report an honest error line instead.
-DEADLINE_S = int(__import__("os").environ.get("BENCH_DEADLINE_S", "900"))
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "1200"))
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 class _Deadline(Exception):
@@ -39,103 +57,115 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def quiesce_trainers(run_root: str | None = None, timeout_s: float = 240.0) -> None:
-    """Losslessly stop live training runs before timing.
+def _pid_alive(path: str) -> bool:
+    try:
+        pid = int(open(path).read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
 
-    The bench shares one chip and one host core with any long-running
-    training loops; contention inflates the setup phase ~9x (27.8 s vs
-    ~3 s measured uncontended).  The trainer polls for a `STOP` file each
-    episode and exits 0 after checkpointing (trainer._maybe_recycle), so
-    dropping STOP into each LIVE run dir (recent train_log.jsonl events)
-    and waiting for the trainer to consume it quiesces the machine without
-    losing any training state.  Opt out with BENCH_NO_QUIESCE=1.
+
+def pause_trainers(run_root: str | None = None, timeout_s: float = 240.0) -> list[str]:
+    """Losslessly pause live training runs before timing; returns the PAUSED
+    ack paths to remove in resume_trainers().
+
+    The bench shares one chip and one host core with the long-running
+    training loops; contention inflates the setup phase ~9x.  The trainer
+    polls for a PAUSE file each sweep, checkpoints, renames it to PAUSED and
+    exits 76; run_train_loop.sh holds the relaunch while PAUSED exists.
+    Liveness = a beacon pidfile with a live process (covers arbitrarily long
+    compiles), falling back to recent train_log.jsonl mtime.  Opt out with
+    BENCH_NO_QUIESCE=1.
     """
     if os.environ.get("BENCH_NO_QUIESCE"):
-        return
+        return []
     if run_root is None:
-        run_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "training_results")
-    stops = []
+        run_root = os.path.join(REPO, "training_results")
+    pending: dict[str, str] = {}  # PAUSE path -> run dir
     now = time.time()
     for d in sorted(glob.glob(os.path.join(run_root, "*"))):
+        if not os.path.isdir(d):
+            continue
         jl = os.path.join(d, "train_log.jsonl")
-        # Live = events within the last 15 min; a stale dir gets no STOP
-        # (a lingering STOP would abort the next launched run on sight).
-        try:
-            live = now - os.path.getmtime(jl) < 900
-        except OSError:
-            live = False
+        live = _pid_alive(os.path.join(d, "trainer.pid"))
+        if not live:
+            try:
+                live = now - os.path.getmtime(jl) < 1800
+            except OSError:
+                live = False
         if live:
-            p = os.path.join(d, "STOP")
+            p = os.path.join(d, "PAUSE")
             with open(p, "w"):
                 pass
-            stops.append(p)
-    if not stops:
-        return
-    log(f"quiescing {len(stops)} live training run(s) ...")
+            pending[p] = d
+    if not pending:
+        return []
+    log(f"pausing {len(pending)} live training run(s) ...")
+    acks: list[str] = []
+    # One poll loop over ALL runs: every pending PAUSE gets the full window
+    # (sequential per-file waits let the first run starve the rest).
     deadline = time.time() + timeout_s
-    for p in stops:
-        while os.path.exists(p) and time.time() < deadline:
-            time.sleep(2.0)
-        if os.path.exists(p):  # trainer never consumed it; don't leave a trap
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-            log(f"quiesce timeout on {p} (removed)")
-    time.sleep(2.0)  # let the exiting process release host/device
+    while pending and time.time() < deadline:
+        for p in list(pending):
+            if not os.path.exists(p):
+                ack = os.path.join(pending.pop(p), "PAUSED")
+                if os.path.exists(ack):
+                    acks.append(ack)
+        time.sleep(1.0)
+    for p, d in pending.items():  # never consumed: don't leave a trap
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+        log(f"pause timeout on {p} (removed)")
+        # Consume/remove race: the trainer may have read PAUSE just before
+        # the removal and still be checkpointing — give its exit a moment so
+        # the timed section doesn't overlap checkpoint I/O.
+        t0 = time.time()
+        pid = os.path.join(d, "trainer.pid")
+        while time.time() - t0 < 15.0:
+            ack = os.path.join(d, "PAUSED")
+            if os.path.exists(ack):
+                acks.append(ack)
+                break
+            if not _pid_alive(pid):
+                break
+            time.sleep(1.0)
+    time.sleep(2.0)  # let exiting processes release host/device
+    return acks
 
 
-def main():
-    import jax
+def resume_trainers(acks: list[str]) -> None:
+    for ack in acks:
+        try:
+            os.remove(ack)
+            log(f"released {ack}")
+        except OSError:
+            pass
+
+
+def _timed_solve(mesh_path: str, precision: str, trials: int = 2):
+    """(wall_s, setup_s, drag, lift) for the 5000-step stock-mesh solve."""
+    import jax.numpy as jnp
 
     from meshdqn_tpu.mesh import read_xdmf, smooth
-    from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
-
-    backend = jax.default_backend()
-    precision = "f32" if backend == "tpu" else "f64"
-    log(f"backend={backend} precision={precision}")
-
-    quiesce_trainers()
+    from meshdqn_tpu.solver import FlowState, IPCSConfig, IPCSSolver
 
     t0 = time.time()
-    mesh = smooth(read_xdmf(MESH), 50)
-    # f32 path: fused dense operators composed ON DEVICE with f64-residual
-    # iterative refinement (solver/fused.py:build_fused_refined) — operator
-    # entries match the exact f64 composition to ~1e-12 rel; setup is host
-    # assembly (~0.3 s) + three jitted compose modules (~10 s device exec,
-    # compile cached persistently).
+    mesh = smooth(read_xdmf(mesh_path), 50)
     solver = IPCSSolver(mesh, IPCSConfig(precision=precision))
     setup_s = time.time() - t0
-    log(f"setup (assembly + on-device refined composition): {setup_s:.1f}s")
-
-    # Warm per-mesh setup: what every SUBSEQUENT solver build in the same
-    # process costs (training remeshes, deploy rebuilds, sweep rows).  The
-    # first-build number above is dominated by per-process one-time costs
-    # on this remote-TPU backend: shipping the ~60 MB of persisted compose
-    # executables over the ~14 MB/s tunnel (scripts/setup_breakdown.py) —
-    # the composition itself executes in ~3 s (measured, uncontended).
-    t0 = time.time()
-    IPCSSolver(mesh, IPCSConfig(precision=precision))
-    setup_warm_s = time.time() - t0
-    log(f"setup (warm per-mesh rebuild): {setup_warm_s:.1f}s")
 
     # Warm up/compile the exact scan used by solve(5000, 1000).  NOTE: on
     # the remote-TPU backend here, block_until_ready does NOT block; a host
     # readback (float()) is the only reliable fence, and identical
-    # computations can be memoized — hence distinct runs below.
+    # computations can be memoized — hence distinct initial states below.
     st, d, _ = solver.evolve(solver.initial_state(), 1000)
     float(d[-1])
 
-    import jax.numpy as jnp
-
-    from meshdqn_tpu.solver import FlowState
-
-    walls = []
-    out = None
-    for trial in range(2):
-        # Distinct (physically identical) initial states per trial so the
-        # remote runtime cannot serve a memoized result.
+    walls, out = [], None
+    for trial in range(trials):
         init = FlowState(
             u=jnp.full(solver.ndofs_u, 1e-30 * trial, solver.work_dtype),
             p=jnp.zeros(solver.ndofs_p, solver.pressure_dtype),
@@ -144,14 +174,109 @@ def main():
         out = solver.solve(5000, save_steps=1000, state=init)
         float(out["drags"][-1])  # force completion (host readback fence)
         walls.append(time.time() - t0)
-        log(f"trial {trial}: {walls[-1]:.2f}s")
-    wall = min(walls)
+        log(f"  trial {trial}: {walls[-1]:.2f}s")
+    return (
+        min(walls),
+        setup_s,
+        float(out["snap_drags"][-1]),
+        float(out["snap_lifts"][-1]),
+    )
 
-    drag = float(out["snap_drags"][-1])
-    lift = float(out["snap_lifts"][-1])
+
+def _episode_throughput() -> dict:
+    """End-to-end training throughput: ms per env step at num_parallel=32,
+    one gradient step per env step, measured over full sweeps after a
+    compile/replay warmup.  Uses the committed ys930 ground-truth pack so no
+    5000-step GT solve is paid here."""
+    gt_path = None
+    for cand in (
+        os.path.join(REPO, "training_results/ys930_results/ground_truth.npz"),
+        os.path.join(REPO, "checkpoints/ys930_results/ground_truth.npz"),
+    ):
+        if os.path.exists(cand):
+            gt_path = cand
+            break
+    if gt_path is None:
+        return {}
+    import shutil
+    import tempfile
+
+    from meshdqn_tpu.env import GroundTruth
+    from meshdqn_tpu.train import Trainer
+    from meshdqn_tpu.utils import Config
+
+    cfg = Config.from_yaml(os.path.join(REPO, "configs/ys930.yaml"))
+    cfg.agent.num_parallel = 32
+    cfg.agent.checkpoint_every = 10 ** 9  # steady-state sweeps, no ckpt I/O
+    cfg.agent.write_every = 10 ** 9
+    tmp = tempfile.mkdtemp(prefix="bench_episodes_")
+    try:
+        cfg.save_dir = tmp
+        cfg.prefix = "bench_"
+        gt = GroundTruth.load(gt_path)
+        trainer = Trainer(cfg, ground_truth=gt, resume=False)
+        warm = 4 * cfg.agent.num_parallel  # compiles + replay fill
+        trainer.train(max_steps=warm)
+        measured = 10 * cfg.agent.num_parallel
+        t0 = time.time()
+        trainer.train(max_steps=warm + measured)
+        wall = time.time() - t0
+        steps = trainer.state.global_step - warm
+        if steps <= 0:
+            return {}
+        ms = wall / steps * 1000.0
+        log(f"episode throughput: {ms:.1f} ms/env-step over {steps} steps")
+        return {
+            "episode_ms_per_env_step": round(ms, 2),
+            "episode_env_steps_per_s": round(1000.0 / ms, 2),
+            "episode_num_parallel": cfg.agent.num_parallel,
+            "episode_baseline_s_per_step": EPISODE_BASELINE_S,
+            "vs_baseline_episode_throughput": round(
+                EPISODE_BASELINE_S / (ms / 1000.0), 1
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    precision = "f32" if backend == "tpu" else "f64"
+    log(f"backend={backend} precision={precision}")
+
+    from meshdqn_tpu.mesh import read_xdmf, smooth
+    from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
+
+    # f32 path: fused dense operators composed ON DEVICE with f64-residual
+    # iterative refinement (solver/fused.py:build_fused_refined) — operator
+    # entries match the exact f64 composition to ~1e-12 rel; setup is host
+    # assembly (~0.3 s) + three jitted compose modules (compile cached).
+    log("ys930 5000-step solve:")
+    wall, setup_s, drag, lift = _timed_solve(MESH, precision)
     rel = abs((drag - REF_DRAG) / REF_DRAG)
     rel_lift = abs((lift - REF_LIFT) / REF_LIFT)
     log(f"wall={wall:.2f}s drag={drag:.7f} rel_err={rel:.2e} lift_rel={rel_lift:.2e}")
+
+    # Warm per-mesh setup: what every SUBSEQUENT solver build in the same
+    # process costs (training remeshes, deploy rebuilds, sweep rows).
+    t0 = time.time()
+    IPCSSolver(smooth(read_xdmf(MESH), 50), IPCSConfig(precision=precision))
+    setup_warm_s = time.time() - t0
+    log(f"setup (warm per-mesh rebuild): {setup_warm_s:.1f}s")
+
+    log("ah93w145 5000-step solve:")
+    ah_wall, ah_setup, ah_drag, ah_lift = _timed_solve(AH_MESH, precision)
+    ah_rel = abs((ah_drag - AH_REF_DRAG) / AH_REF_DRAG)
+    ah_rel_lift = abs((ah_lift - AH_REF_LIFT) / AH_REF_LIFT)
+    log(f"wall={ah_wall:.2f}s drag={ah_drag:.7f} rel_err={ah_rel:.2e}")
+
+    episode = {}
+    try:
+        episode = _episode_throughput()
+    except Exception as e:  # never lose the solver metrics to the RL path
+        log(f"episode throughput measurement failed: {e!r}")
 
     print(
         json.dumps(
@@ -169,12 +294,22 @@ def main():
                 "lift_rel_err_vs_reference": rel_lift,
                 "setup_s": round(setup_s, 1),
                 "setup_warm_s": round(setup_warm_s, 1),
+                "ah93w145_5000step_solve_wall_s": round(ah_wall, 3),
+                "ah93w145_vs_baseline": round(AH_BASELINE_S / ah_wall, 2),
+                "ah93w145_baseline_s": AH_BASELINE_S,
+                "ah93w145_drag_rel_err": ah_rel,
+                "ah93w145_lift_rel_err": ah_rel_lift,
+                **episode,
             }
         )
     )
 
 
 if __name__ == "__main__":
+    # Pause the trainers BEFORE arming the deadline: a slow quiesce must not
+    # eat the solve budget, and the finally below releases the pause on
+    # every path (including the deadline).
+    _acks = pause_trainers()
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(DEADLINE_S)
     try:
@@ -189,11 +324,11 @@ if __name__ == "__main__":
                     "vs_baseline": 0,
                     "error": f"TPU backend unresponsive within {DEADLINE_S}s "
                     "(remote compile service outage); last verified result "
-                    "(2026-08-19, contended with two 32-env training runs): "
-                    "4.90 s wall (22.24x baseline), drag rel err 1.6e-5, "
-                    "lift rel 2.6e-4, warm per-mesh rebuild 0.6 s",
+                    "(2026-08-19): 5.02 s wall (21.7x baseline), drag rel "
+                    "err 1.6e-5, lift rel 2.6e-4",
                 }
             )
         )
     finally:
         signal.alarm(0)
+        resume_trainers(_acks)

@@ -482,10 +482,14 @@ class Trainer:
         """Exit(75) for a lossless watchdog restart once the axon H2D
         retention (docs/AXON.md) has grown RSS past the watermark; exit(0)
         losslessly when a STOP file appears in the run dir (lets an
-        operator end a run without losing the replay ring to a kill)."""
+        operator end a run without losing the replay ring to a kill);
+        exit(76) on a PAUSE file — same lossless save, but the run loop
+        holds the relaunch until the PAUSED ack is removed (bench.py uses
+        this to borrow the chip without terminating training)."""
         stop = os.path.exists(os.path.join(self.save_dir, "STOP"))
+        pause = not stop and os.path.exists(os.path.join(self.save_dir, "PAUSE"))
         rss_kb = 0
-        if not stop:
+        if not (stop or pause):
             try:
                 rss_kb = int(
                     open("/proc/self/status").read().split("VmRSS:")[1].split()[0]
@@ -500,7 +504,7 @@ class Trainer:
         self._last_saved_episode = -1  # force a fresh checkpoint
         self._save_checkpoint()
         self.jsonlog.log(
-            "stop" if stop else "recycle",
+            "stop" if stop else ("pause" if pause else "recycle"),
             rss_gb=round(rss_kb / 1024 / 1024, 1),
             episode=self.state.episode, global_step=self.state.global_step,
         )
@@ -511,8 +515,19 @@ class Trainer:
                 os.remove(os.path.join(self.save_dir, "STOP"))
             except OSError:
                 pass
+        if pause:
+            # Ack protocol: PAUSE -> PAUSED.  The pauser removes PAUSED to
+            # release the run loop; a crashed pauser leaves PAUSED behind,
+            # which an operator clears by hand (the loop logs the wait).
+            try:
+                os.replace(
+                    os.path.join(self.save_dir, "PAUSE"),
+                    os.path.join(self.save_dir, "PAUSED"),
+                )
+            except OSError:
+                pass
         sys.stdout.flush(); sys.stderr.flush()
-        os._exit(0 if stop else 75)
+        os._exit(0 if stop else (76 if pause else 75))
 
     def _save_checkpoint(self):
         if self.state.episode == self._last_saved_episode:

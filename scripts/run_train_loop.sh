@@ -9,11 +9,15 @@ CONFIG=$1; PREFIX=$2; EPISODES=$3; LOG=$4; shift 4
 cd /root/repo
 RUN_DIR="training_results/${PREFIX%_}"
 STALL_S=${STALL_S:-600}
+mkdir -p "$RUN_DIR"
 for i in $(seq 1 1000); do
   START=$(date +%s)
   python -m meshdqn_tpu.cli.train --config "$CONFIG" --episodes "$EPISODES" \
     prefix="$PREFIX" "$@" >> "$LOG" 2>&1 &
   TPID=$!
+  # Liveness beacon for bench.py's pause logic (a long contended compile can
+  # outlast any mtime window; the pid is the ground truth).
+  echo $TPID > "$RUN_DIR/trainer.pid"
   while kill -0 $TPID 2>/dev/null; do
     sleep 60
     NOW=$(date +%s)
@@ -38,7 +42,16 @@ for i in $(seq 1 1000); do
   done
   wait $TPID
   rc=$?
+  rm -f "$RUN_DIR/trainer.pid"
   echo "[loop] train exited rc=$rc at $(date)" >> "$LOG"
   if [ $rc -eq 0 ]; then break; fi
+  if [ $rc -eq 76 ]; then
+    # Paused (trainer acked PAUSE -> PAUSED and exited losslessly).  Hold
+    # the relaunch until the pauser removes the ack.
+    echo "[loop] paused; waiting for PAUSED release" >> "$LOG"
+    while [ -f "$RUN_DIR/PAUSED" ] || [ -f "$RUN_DIR/PAUSE" ]; do sleep 5; done
+    echo "[loop] resuming after pause at $(date)" >> "$LOG"
+    continue
+  fi
   sleep 10
 done

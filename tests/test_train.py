@@ -121,6 +121,42 @@ class TestTrainerResume:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    def test_pause_file_lossless_pause(
+        self, small_config, ground_truth, tmp_path, monkeypatch
+    ):
+        """A PAUSE file makes the trainer save everything, ack PAUSE->PAUSED
+        and exit 76 (run_train_loop.sh holds the relaunch on that code until
+        the ack disappears); a fresh Trainer resumes losslessly."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "pause_"
+        cfg.agent.num_parallel = 1
+        cfg.optimizer.batch_size = 4
+
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.train(max_steps=5)
+
+        open(os.path.join(tr.save_dir, "PAUSE"), "w").close()
+
+        class _Exit(Exception):
+            pass
+
+        monkeypatch.setattr(os, "_exit", lambda code: (_ for _ in ()).throw(_Exit(code)))
+        with pytest.raises(_Exit) as ei:
+            tr.train(num_episodes=10**6, max_steps=10**9)
+        assert ei.value.args[0] == 76, "PAUSE exit must be rc=76 (loop waits)"
+        assert not os.path.exists(os.path.join(tr.save_dir, "PAUSE"))
+        assert os.path.exists(os.path.join(tr.save_dir, "PAUSED"))
+        events = [
+            json.loads(line)["event"]
+            for line in open(os.path.join(tr.save_dir, "train_log.jsonl"))
+        ]
+        assert "pause" in events
+
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        assert tr2.state.global_step == tr.state.global_step
+        assert len(tr2.replay) == len(tr.replay)
+
     def test_infra_failure_aborts_sweep_without_poisoning_replay(
         self, small_config, ground_truth, tmp_path, monkeypatch
     ):
