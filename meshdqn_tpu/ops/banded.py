@@ -1,0 +1,183 @@
+"""Gather-free banded-block SpMV for RCM-reordered FEM operators.
+
+Why this exists: the ELL matvec's `x[cols]` gather lowers to a scalar
+element loop on TPU — measured 11.15 ms for a 29,768x50 ELL operand
+(~6 MB values + 6 MB gathered x, ~700x off the HBM roofline) on the v5e,
+which made the large-mesh CG path (scripts/cg_microbench.py) 300 ms/step,
+3.5-6x SLOWER than the reference's CPU MUMPS rows
+(/root/reference/training_results/benchmark_results/*.csv).
+
+The fix: after a reverse Cuthill-McKee reordering every column index of row
+r lies in a window of width W around the diagonal (measured W ~ 1.7k of
+n ~ 30k at the reference's finest sweep rows).  Store the matrix as dense
+row-blocks over that window:
+
+    blocks[b, i, j] = A[b*R + i, b*g - pad + j]      (B, R, W)
+
+and the matvec needs NO gather at all: the overlapping x-windows
+
+    X_win[b, j] = xpad[b*g + j]                      (B, W)
+
+are built from W/g static slices of a zero-padded x (pure reshapes +
+concatenate — vectorized moves), and
+
+    y = einsum('brw,bw->br', blocks, X_win)
+
+is a batched dense contraction the TPU streams at memory bandwidth.  The
+column advance per row-block `g` generalizes rectangular operators between
+the P2 velocity / P2 scalar / P1 pressure spaces (g = R * n_cols/n_rows):
+g = R for square operators, R/2 for (2Ns x Ns), 2R for (Ns x 2Ns).
+
+This is the TPU-native replacement for the PETSc/MUMPS back-solve data
+path (reference flow_solver.py:147-159) at mesh sizes where the dense
+invert-once operators no longer fit HBM.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def rcm_permutation(pattern: sp.spmatrix) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of a symmetric sparsity pattern.
+
+    Returns `perm` with perm[new] = old (scipy convention: A[perm][:, perm]
+    has reduced bandwidth).
+    """
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    return np.asarray(
+        reverse_cuthill_mckee(pattern.tocsr(), symmetric_mode=True),
+        dtype=np.int64,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BandedMatrix:
+    """Dense banded row-blocks: blocks (B, R, W); col window of block b
+    starts at b*g - pad."""
+
+    blocks: jnp.ndarray
+    pad: int
+    g: int
+    shape: tuple
+
+    def tree_flatten(self):
+        return (self.blocks,), (self.pad, self.g, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2])
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.blocks.size) * self.blocks.dtype.itemsize
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_scipy(
+        cls,
+        A: sp.spmatrix,
+        dtype=jnp.float32,
+        R: int = 8,
+        g: int | None = None,
+        device_build: bool = True,
+    ) -> "BandedMatrix":
+        """Build from a (reordered) scipy matrix.
+
+        g defaults to round(R * n_cols / n_rows) — the column advance per
+        row-block that keeps a banded operator's windows centered.  With
+        `device_build` the dense blocks are scattered on device from the
+        COO triplets (uploads nnz, not B*R*W — the blocks can be hundreds
+        of MB while the triplets are a few MB over the remote tunnel).
+        """
+        A = A.tocsr()
+        A.sum_duplicates()
+        A.eliminate_zeros()
+        n_rows, n_cols = A.shape
+        if g is None:
+            g = max(int(round(R * n_cols / n_rows)), 1)
+        coo = A.tocoo()
+        row = coo.row.astype(np.int64)
+        col = coo.col.astype(np.int64)
+        vals = coo.data
+        B = -(-n_rows // R)
+        b = row // R
+        pad = int(max(0, (b * g - col).max())) if len(row) else 0
+        j = col - b * g + pad
+        W_req = int(j.max()) + 1 if len(row) else 1
+        # W multiple of lcm(g, 128): g | W for the window reshape trick,
+        # 128 | W for lane-aligned blocks.
+        align = int(np.lcm(g, 128))
+        W = -(-W_req // align) * align
+        # The padded x must cover col index (B-1)*g - pad + W - 1 AND the
+        # plain range [0, n_cols): ensure L = (B + W/g - 1)*g >= n_cols + pad.
+        while (B + W // g - 1) * g < n_cols + pad:
+            W += align
+        flat_idx = row * W + j
+        if device_build:
+            blocks = (
+                jnp.zeros(B * R * W, dtype=dtype)
+                .at[jnp.asarray(flat_idx)]
+                .set(jnp.asarray(vals, dtype=dtype))
+                .reshape(B, R, W)
+            )
+        else:
+            dense = np.zeros((B * R, W), dtype=np.float64)
+            dense[row, j] = vals
+            blocks = jnp.asarray(dense.reshape(B, R, W), dtype=dtype)
+        return cls(blocks=blocks, pad=pad, g=g, shape=A.shape)
+
+    # ------------------------------------------------------------------
+    def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Y = A @ X for X (n_cols, m) — gather-free windowed contraction."""
+        return banded_matmat(self.blocks, X, self.pad, self.g, self.shape)
+
+    def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 1:
+            return self.matmat(x[:, None])[:, 0]
+        return self.matmat(x)
+
+
+def banded_matmat(blocks, X, pad, g, shape):
+    n_rows, n_cols = shape
+    B, R, W = blocks.shape
+    m = W // g
+    L = (B + m - 1) * g
+    mr = X.shape[1]
+    Xpad = jnp.zeros((L, mr), dtype=X.dtype)
+    Xpad = jax.lax.dynamic_update_slice(Xpad, X, (pad, 0))
+    Z = Xpad.reshape(B + m - 1, g, mr)
+    X_win = jnp.concatenate([Z[q : q + B] for q in range(m)], axis=1)
+    X_win = X_win.astype(blocks.dtype)
+    # Broadcast-multiply + reduce, NOT einsum/dot_general: a batched
+    # (R, W) @ (W, mr<=2) matmul pads its tiny output dim to MXU tiles
+    # (measured ~10x off roofline at mr=1); the elementwise form fuses
+    # into a VPU multiply-reduce that streams `blocks` once at HBM
+    # bandwidth.  mr is static and small (1 or 2), so the python loop
+    # just unrolls.
+    outs = [
+        jnp.sum(blocks * X_win[..., i][:, None, :], axis=2) for i in range(mr)
+    ]
+    Y = jnp.stack(outs, axis=-1)  # (B, R, mr)
+    return Y.reshape(B * R, mr)[:n_rows]
+
+
+def permute_interleave_u(Ns: int, rank_s: np.ndarray) -> np.ndarray:
+    """new2old index map for the velocity space: concatenated [ux; uy]
+    (old) -> component-interleaved scalar-RCM order (new), so cross-
+    component viscous coupling stays within 2*beta_s of the diagonal and
+    the (Ns, 2) component split is a free reshape.
+
+    new2old[2*rank_s[j] + c] = c*Ns + j
+    """
+    new2old = np.empty(2 * Ns, dtype=np.int64)
+    j = np.arange(Ns)
+    new2old[2 * rank_s] = j
+    new2old[2 * rank_s + 1] = Ns + j
+    return new2old

@@ -31,17 +31,19 @@ def ell_matmat(cols: jnp.ndarray, vals: jnp.ndarray, X: jnp.ndarray) -> jnp.ndar
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def pcg(A: EllMatrix, dinv: jnp.ndarray, B: jnp.ndarray, X0: jnp.ndarray,
+def pcg(A, dinv: jnp.ndarray, B: jnp.ndarray, X0: jnp.ndarray,
         iters: int) -> jnp.ndarray:
     """Solve A X = B (SPD, multi-RHS) with `iters` Jacobi-PCG iterations.
 
-    B, X0: (n, m).  Each column gets its own alpha/beta (the columns are
-    independent solves sharing the streamed operator — the same pattern the
-    Pallas dual-vector kernel exploits, docs/PALLAS.md).
+    A is any operator pytree with .matmat (EllMatrix, or ops/banded.py's
+    gather-free BandedMatrix — the TPU production layout).  B, X0: (n, m).
+    Each column gets its own alpha/beta (the columns are independent solves
+    sharing the streamed operator — the same pattern the Pallas dual-vector
+    kernel exploits, docs/PALLAS.md).
     """
 
     def mv(X):
-        return ell_matmat(A.cols, A.vals, X)
+        return A.matmat(X)
 
     R = B - mv(X0)
     Z = dinv[:, None] * R

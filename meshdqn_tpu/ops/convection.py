@@ -49,10 +49,17 @@ class ConvectionKernel:
 
     @classmethod
     def build(
-        cls, mesh: TriMesh, dtype=jnp.float64, ns_pad: int | None = None
+        cls,
+        mesh: TriMesh,
+        dtype=jnp.float64,
+        ns_pad: int | None = None,
+        dof_perm: np.ndarray | None = None,
     ) -> "ConvectionKernel":
         """ns_pad: re-layout output dofs for a scalar block padded to ns_pad
-        (solver pad_quantum): y-component dofs shift from +Ns to +ns_pad."""
+        (solver pad_quantum): y-component dofs shift from +Ns to +ns_pad.
+        dof_perm: old->new velocity dof map (e.g. the banded CG layout's
+        interleaved RCM order); gather/scatter indices are remapped so the
+        kernel consumes and produces vectors in the NEW layout."""
         pts, w = dunavant_6()
         phi = p2_basis(pts)
         gref = p2_grads(pts)
@@ -68,6 +75,9 @@ class ConvectionKernel:
                 [cell_dofs[:, :6], cell_dofs[:, 6:] - ns + ns_pad], axis=1
             )
             ndofs = 2 * ns_pad
+        if dof_perm is not None:
+            assert ns_pad is None, "dof_perm and ns_pad are exclusive"
+            cell_dofs = np.asarray(dof_perm)[cell_dofs]
         return cls(
             cell_dofs=jnp.asarray(cell_dofs),
             phi=jnp.asarray(phi, dtype=dtype),

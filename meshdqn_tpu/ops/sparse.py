@@ -53,7 +53,13 @@ class EllMatrix:
         return cls(jnp.asarray(cols), jnp.asarray(vals, dtype=dtype), A.shape)
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 2:
+            return self.matmat(x)
         return ell_matvec(self.cols, self.vals, x)
+
+    def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Y[r, m] = sum_k vals[r, k] * X[cols[r, k], m]."""
+        return jnp.einsum("rk,rkm->rm", self.vals, X[self.cols])
 
 
 @partial(jax.jit, donate_argnums=())

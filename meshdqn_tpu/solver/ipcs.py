@@ -64,6 +64,7 @@ import scipy.linalg
 
 from ..fem.assembly import apply_bc_symmetric, assemble_operators
 from ..mesh import TriMesh, mark_boundaries
+from ..ops.banded import BandedMatrix, permute_interleave_u, rcm_permutation
 from ..ops.cg import jacobi_inv, pcg
 from ..ops.convection import ConvectionKernel
 from ..ops.sparse import EllMatrix
@@ -193,6 +194,105 @@ def evolve_cg_n(dev: CGOperators, state: FlowState, u_star0: jnp.ndarray,
     def body(carry, _):
         s, ustar = carry
         s, ustar, dl = ipcs_step_cg(dev, s, ustar, iters_u, iters_m, p_refine)
+        return (s, ustar), dl
+
+    (state, ustar), (drags, lifts) = jax.lax.scan(
+        body, (state, u_star0), None, length=n_steps
+    )
+    return state, ustar, (drags, lifts)
+
+
+class BandedCGOperators(NamedTuple):
+    """CG-path operators in gather-free banded layout (cg_layout='banded').
+
+    Same matrices as CGOperators, but the velocity-row operators live in a
+    component-INTERLEAVED scalar-RCM dof order (ops/banded.py) so every
+    SpMV is a windowed dense contraction — no TPU gather.  Measured on the
+    finest sweep row (scripts/cg_microbench.py): the ELL gather matvec was
+    11.15 ms for ~12 MB of traffic; banded streams at HBM bandwidth.
+
+    Pressure stays in the ORIGINAL vertex order (the dense A2inv and Kp are
+    untouched); coupling operators inject p into its scalar-RCM positions
+    (`vert_pos`) with one small scatter per step.
+    """
+
+    A1bc: BandedMatrix  # (2Ns, 2Ns) interleaved
+    d1inv: jnp.ndarray
+    A2inv: jnp.ndarray  # (Np, Np) dense, original pressure order
+    A2bc: EllMatrix
+    A3bc_s: BandedMatrix  # (Ns, Ns) scalar-RCM
+    d3inv: jnp.ndarray
+    R1: BandedMatrix  # (2Ns, 2Ns)
+    P1m_s: BandedMatrix  # (2Ns, Ns): pressure pre-injected to scalar order
+    Kp: EllMatrix  # (Np, Np) small
+    BT_s: BandedMatrix  # (Ns, 2Ns): rows at scalar positions of vertices
+    Ms: BandedMatrix  # (Ns, Ns) unconstrained scalar mass (dual-RHS apply)
+    G_s: BandedMatrix  # (2Ns, Ns)
+    vert_pos: jnp.ndarray  # (Np,) int32 scalar-RCM position of vertex v
+    z_u: jnp.ndarray
+    z_p: jnp.ndarray
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    t3: jnp.ndarray
+    conv: ConvectionKernel  # built with the interleaved dof map
+    drag_u: jnp.ndarray
+    drag_p: jnp.ndarray
+    lift_u: jnp.ndarray
+    lift_p: jnp.ndarray
+    rho: jnp.ndarray
+    dt: jnp.ndarray
+
+
+def ipcs_step_cg_banded(dev: BandedCGOperators, state: FlowState,
+                        u_star_prev: jnp.ndarray, iters_u: int, iters_m: int,
+                        p_refine: int):
+    """ipcs_step_cg in the banded layout.  u lives component-interleaved in
+    scalar-RCM order (u[2j+c] = component c at scalar-RCM node j), so the
+    per-component split of step 3 is a free (Ns, 2) reshape; p lives in the
+    original vertex order."""
+    u_n, p_n = state
+    ns = dev.A3bc_s.shape[0]
+    c = dev.conv(u_n)
+    wdt = dev.t1.dtype
+    # Step 1: tentative velocity.
+    p_s = jnp.zeros(ns, wdt).at[dev.vert_pos].set(p_n)
+    b1 = (dev.R1 @ u_n) + (dev.P1m_s @ p_s) - dev.rho * c
+    b1 = b1 * dev.z_u + dev.t1
+    u_star = pcg(
+        dev.A1bc, dev.d1inv, b1[:, None], u_star_prev[:, None], iters_u
+    )[:, 0]
+    # Step 2: pressure correction (original ordering; BT result is read off
+    # at the vertices' scalar positions).
+    bt = (dev.BT_s @ u_star)[dev.vert_pos]
+    b2 = (dev.Kp @ p_n) - bt / dev.dt
+    b2 = b2 * dev.z_p + dev.t2
+    p_new = dev.A2inv @ b2
+    for _ in range(p_refine):
+        r = b2 - (dev.A2bc @ p_new)
+        p_new = p_new + dev.A2inv @ r
+    # Step 3: velocity correction — dual-RHS scalar mass solves.
+    dp_s = jnp.zeros(ns, wdt).at[dev.vert_pos].set(p_new - p_n)
+    V = u_star.reshape(ns, 2)
+    b3 = dev.Ms.matmat(V).reshape(-1) - dev.dt * (dev.G_s @ dp_s)
+    b3 = b3 * dev.z_u + dev.t3
+    Y = pcg(dev.A3bc_s, dev.d3inv, b3.reshape(ns, 2), V, iters_m)
+    u_new = Y.reshape(-1)
+
+    new_state = FlowState(u=u_new, p=p_new)
+    drag = dev.drag_u @ u_new + dev.drag_p @ p_new
+    lift = dev.lift_u @ u_new + dev.lift_p @ p_new
+    return new_state, u_star, (drag, lift)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "iters_u", "iters_m", "p_refine"))
+def evolve_cg_banded_n(dev: BandedCGOperators, state: FlowState,
+                       u_star0: jnp.ndarray, n_steps: int, iters_u: int,
+                       iters_m: int, p_refine: int):
+    def body(carry, _):
+        s, ustar = carry
+        s, ustar, dl = ipcs_step_cg_banded(
+            dev, s, ustar, iters_u, iters_m, p_refine
+        )
         return (s, ustar), dl
 
     (state, ustar), (drags, lifts) = jax.lax.scan(
@@ -337,6 +437,12 @@ class IPCSConfig:
     # (~3,300 verts / 27k dofs) while 25-step chunks run fine
     # (scripts/cg_tpu_probe.py); 0 = unchunked.
     cg_chunk: int = 0
+    # 'banded' (default): gather-free RCM banded-block SpMV (ops/banded.py)
+    # — the TPU production layout (the ELL gather matvec measured 11 ms at
+    # the finest sweep rows, ~700x off roofline).  'ell': the round-2 ELL
+    # gather layout, kept for comparison/fallback; also the automatic
+    # fallback when the RCM bandwidth is too large for dense blocks.
+    cg_layout: str = "banded"
     # Quantize the fused systems' dof counts up to multiples of pad_quantum
     # (velocity-scalar block; pressure uses pad_quantum//4, min 32) by
     # zero-embedding + unit pad diagonal — EXACT, and collapses the
@@ -405,6 +511,13 @@ class IPCSSolver:
             # Pressure inverse composed exactly in host f64, cast to the
             # working dtype (Np x Np — small even at the finest meshes).
             A2i = scipy.linalg.inv(A2bc.toarray())
+            if cfg.cg_layout == "banded":
+                built = self._build_cg_banded(
+                    ops, A1bc, A2bc, A3bc_s, Ms, A2i, zu, zp, gu, gp,
+                    dprobe, lprobe, wdt, mesh,
+                )
+                if built:
+                    return
             A1ell = EllMatrix.from_scipy(A1bc, dtype=wdt)
             A3ell = EllMatrix.from_scipy(A3bc_s, dtype=wdt)
             self.dev = CGOperators(
@@ -591,6 +704,91 @@ class IPCSSolver:
         )
 
     # ------------------------------------------------------------------
+    def _build_cg_banded(self, ops, A1bc, A2bc, A3bc_s, Ms, A2i, zu, zp,
+                         gu, gp, dprobe, lprobe, wdt, mesh) -> bool:
+        """Construct BandedCGOperators (cg_layout='banded').
+
+        Returns False (caller falls back to the ELL layout) when the RCM
+        bandwidth is too large for dense banded blocks to pay off.
+        """
+        import scipy.sparse as sp
+
+        cfg = self.config
+        Ns = ops.V.scalar.ndofs
+        Np = A2bc.shape[0]
+        A1, A2, A3 = ops.A1, ops.A2, ops.A3
+        perm_s = rcm_permutation(Ms)
+        rank_s = np.empty(Ns, dtype=np.int64)
+        rank_s[perm_s] = np.arange(Ns)
+        n2o_u = permute_interleave_u(Ns, rank_s)
+        o2n_u = np.empty_like(n2o_u)
+        o2n_u[n2o_u] = np.arange(2 * Ns)
+
+        A1p = A1bc.tocsr()[n2o_u][:, n2o_u].tocoo()
+        span = int(np.abs(A1p.row - A1p.col).max())
+        # Bandwidth guard: blocks are (n, ~2*span); past ~n/4 the dense
+        # band stores too many zeros to beat even the slow gather.
+        if 2 * span > max(512, A1p.shape[0] // 4):
+            return False
+
+        A1p = A1p.tocsr()
+        A3p = A3bc_s.tocsr()[perm_s][:, perm_s].tocsr()
+        Msp = Ms.tocsr()[perm_s][:, perm_s].tocsr()
+        R1p = ops.R1.tocsr()[n2o_u][:, n2o_u].tocsr()
+        # Injection of pressure dofs (vertices, original order) into their
+        # scalar-RCM positions: S[v, rank_s[v]] = 1 (P2 scalar dofs [0, V)
+        # are the vertices, fem/spaces.py:8).
+        vert_pos = rank_s[:Np]
+        S = sp.csr_matrix(
+            (np.ones(Np), (np.arange(Np), vert_pos)), shape=(Np, Ns)
+        )
+        P1m_sp = ((ops.B - ops.Bn).tocsr()[n2o_u] @ S).tocsr()
+        G_sp = (ops.G.tocsr()[n2o_u] @ S).tocsr()
+        BT_sp = (S.T @ ops.B.T.tocsr())[:, n2o_u].tocsr()
+
+        t1v = (gu - zu * (A1 @ gu))[n2o_u]
+        t3v = (gu - zu * (A3 @ gu))[n2o_u]
+        d1 = A1p.diagonal()
+        d3 = A3p.diagonal()
+        band = partial(BandedMatrix.from_scipy, dtype=wdt)
+        self.dev = BandedCGOperators(
+            A1bc=band(A1p),
+            d1inv=jnp.asarray(np.where(d1 != 0, 1.0 / np.where(d1 != 0, d1, 1.0), 1.0), dtype=wdt),
+            A2inv=jnp.asarray(A2i, dtype=wdt),
+            A2bc=EllMatrix.from_scipy(A2bc, dtype=wdt),
+            A3bc_s=band(A3p),
+            d3inv=jnp.asarray(np.where(d3 != 0, 1.0 / np.where(d3 != 0, d3, 1.0), 1.0), dtype=wdt),
+            R1=band(R1p),
+            P1m_s=band(P1m_sp),
+            Kp=EllMatrix.from_scipy(ops.Kp, dtype=wdt),
+            BT_s=band(BT_sp),
+            Ms=band(Msp),
+            G_s=band(G_sp),
+            vert_pos=jnp.asarray(vert_pos, dtype=jnp.int32),
+            z_u=jnp.asarray(zu[n2o_u], dtype=wdt),
+            z_p=jnp.asarray(zp, dtype=wdt),
+            t1=jnp.asarray(t1v, dtype=wdt),
+            t2=jnp.asarray(gp - zp * (A2 @ gp), dtype=wdt),
+            t3=jnp.asarray(t3v, dtype=wdt),
+            conv=ConvectionKernel.build(mesh, dtype=wdt, dof_perm=o2n_u),
+            drag_u=jnp.asarray(dprobe.d_u[n2o_u], dtype=wdt),
+            drag_p=jnp.asarray(dprobe.d_p, dtype=wdt),
+            lift_u=jnp.asarray(lprobe.d_u[n2o_u], dtype=wdt),
+            lift_p=jnp.asarray(lprobe.d_p, dtype=wdt),
+            rho=jnp.asarray(cfg.rho, dtype=wdt),
+            dt=jnp.asarray(cfg.dt, dtype=wdt),
+        )
+        self._u_export_idx = jnp.asarray(o2n_u)
+        self._cg_ustar = jnp.zeros(self.ndofs_u, dtype=wdt)
+        return True
+
+    def export_u(self, u):
+        """Map a velocity dof vector from the solver's internal layout to
+        the canonical concatenated [ux; uy] layout (identity unless the
+        banded CG layout's interleaved RCM order is active)."""
+        idx = getattr(self, "_u_export_idx", None)
+        return u if idx is None else u[idx]
+
     def unpad_u(self, u):
         """Strip pad_quantum padding from a velocity dof vector."""
         if self._pad is None:
@@ -627,9 +825,14 @@ class IPCSSolver:
             chunk = cfg.cg_chunk if cfg.cg_chunk > 0 else n_steps
             ds, ls = [], []
             done = 0
+            step_fn = (
+                evolve_cg_banded_n
+                if isinstance(self.dev, BandedCGOperators)
+                else evolve_cg_n
+            )
             while done < n_steps:
                 n = min(chunk, n_steps - done)
-                state, self._cg_ustar, (d, l) = evolve_cg_n(
+                state, self._cg_ustar, (d, l) = step_fn(
                     self.dev, state, self._cg_ustar, n,
                     cfg.cg_iters_u, cfg.cg_iters_m, cfg.cg_pressure_refine,
                 )
@@ -681,6 +884,10 @@ class IPCSSolver:
             snaps.append(state)
         drags = jnp.concatenate(drags)
         lifts = jnp.concatenate(lifts)
+        # Exported snapshots use the canonical [ux; uy] layout; `state` stays
+        # in the solver's internal layout so it can continue evolve().
+        if getattr(self, "_u_export_idx", None) is not None:
+            snaps = [FlowState(u=self.export_u(s.u), p=s.p) for s in snaps]
         return {
             "state": state,
             "drags": drags,
