@@ -33,6 +33,8 @@ import os
 import shutil
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RUNS = os.path.join(REPO, "training_results")
 PACKS = os.path.join(REPO, "checkpoints")
@@ -75,8 +77,30 @@ def save(run: str) -> None:
             copied.append(base)
     with open(os.path.join(src, "ckpt", step, "extras.json")) as f:
         extras = json.load(f)
+    # Reward-trend summary so a diverging run is visible in `git log -p`
+    # without unpickling npy files (round-2's late-training collapse sat
+    # unnoticed inside committed packs).
+    trend = {}
+    rpath = os.path.join(dst, f"{run}_reward.npy")
+    if os.path.exists(rpath):
+        rew = np.load(rpath, allow_pickle=True)
+        try:
+            rew = np.asarray(rew, dtype=np.float64)
+        except (TypeError, ValueError):
+            rew = np.asarray([float(np.sum(r)) for r in rew])
+        n = len(rew)
+        trend["episodes"] = int(n)
+        if n >= 200:
+            last = rew[-1000:]
+            prev = rew[-2000:-1000] if n >= 2000 else rew[: max(n - 1000, 100)]
+            trend["reward_ma_last1000"] = round(float(np.mean(last)), 4)
+            trend["reward_ma_prev1000"] = round(float(np.mean(prev)), 4)
+            trend["reward_slope_per_1k"] = round(
+                float(np.mean(last) - np.mean(prev)), 4
+            )
+            trend["reward_ma_last100"] = round(float(np.mean(rew[-100:])), 4)
     with open(os.path.join(dst, "PACK.json"), "w") as f:
-        json.dump({"run": run, "step": step, **extras}, f, indent=1)
+        json.dump({"run": run, "step": step, **extras, **trend}, f, indent=1)
     total = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(dst)
