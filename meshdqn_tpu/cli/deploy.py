@@ -22,6 +22,13 @@ def main(argv=None):
     ap.add_argument("--no-end-plots", action="store_true")
     ap.add_argument("--use-best", action="store_true")
     ap.add_argument("--confirm", action="store_true")
+    ap.add_argument(
+        "--restart",
+        action="store_true",
+        help="resume an interrupted deployment from its per-step resume "
+        "state; artifacts are re-prefixed restart_ (RESTART, "
+        "deploy_dqn.py:68, 113-124)",
+    )
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument(
         "--surrogate",
@@ -89,6 +96,7 @@ def main(argv=None):
         confirm=args.confirm,
         surrogate_model=args.surrogate,
         surrogate_path=args.surrogate_path,
+        restart=args.restart,
     )
     deployer = Deployer(cfg, gt, dqn.params1, options=opts)
     # Provenance: record which checkpoint produced this deployment (the

@@ -53,6 +53,14 @@ class DeployOptions:
     # interpolated trajectory.
     surrogate_model: bool = False
     surrogate_path: str | None = None  # default: <run>/<prefix>surrogate_model.npz
+    # RESTART (deploy_dqn.py:68, 113-124): resume an interrupted deployment.
+    # The reference re-prefixes every artifact `restart_` per restart; here
+    # the per-step deployment state (actions taken, interpolated/re-simulated
+    # trajectories) is additionally persisted each step so a killed
+    # complete_traj run (30 x 5000-step re-sims) resumes where it stopped:
+    # completed re-simulations are NOT recomputed — only the cheap env
+    # replay reruns.
+    restart: bool = False
 
 
 @dataclass
@@ -113,6 +121,40 @@ class Deployer:
         self.out_dir = out
         os.makedirs(out, exist_ok=True)
         self.obj = config.prefix.rstrip("_")
+        # Fixed-name per-step resume state (survives the restart_ artifact
+        # re-prefixing so a second interruption still finds it).
+        self.resume_path = os.path.join(out, f"{self.obj}_deploy_resume.npz")
+
+    # ------------------------------------------------------------------
+    def _save_resume(self, raw_actions, removed_coords, est_vertices,
+                     est_drags, est_lifts, traj_vertices, traj_drags,
+                     traj_lifts, surrogate_drags, done, restarts):
+        """Persist the per-step deployment state (atomically) so an
+        interrupted complete_traj run resumes without redoing its 5000-step
+        re-simulations (deploy RESTART, deploy_dqn.py:68)."""
+        tmp = self.resume_path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                raw_actions=np.asarray(raw_actions, dtype=np.int64),
+                removed_coords=np.asarray(removed_coords, dtype=np.float64).reshape(-1, 2),
+                est_vertices=np.asarray(est_vertices, dtype=np.int64),
+                est_drags=np.asarray(est_drags, dtype=np.float64),
+                est_lifts=np.asarray(est_lifts, dtype=np.float64),
+                traj_vertices=np.asarray(traj_vertices, dtype=np.int64),
+                traj_drags=np.asarray(traj_drags, dtype=np.float64),
+                traj_lifts=np.asarray(traj_lifts, dtype=np.float64),
+                surrogate_drags=np.asarray(surrogate_drags, dtype=np.float64),
+                done=np.asarray(done),
+                restarts=np.asarray(restarts, dtype=np.int64),
+            )
+        os.replace(tmp, self.resume_path)
+
+    def _load_resume(self):
+        if not os.path.exists(self.resume_path):
+            return None
+        with np.load(self.resume_path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
 
     # ------------------------------------------------------------------
     def _best_episode_actions(self) -> list[int]:
@@ -163,6 +205,18 @@ class Deployer:
         # before the loop, deploy_dqn.py:299-313).
         env.calculate_reward()
 
+        resume = self._load_resume() if opts.restart else None
+        restarts = 0
+        if resume is not None:
+            restarts = int(resume["restarts"]) + 1
+            # Reference-style accumulating artifact re-prefix per restart
+            # (deploy_dqn.py:113-124 builds "restart_"*RESTART_NUM names).
+            self.obj = "restart_" * restarts + self.obj
+            print(
+                f"DEPLOY RESTART {restarts}: resuming after "
+                f"{len(resume['raw_actions'])} completed steps"
+            )
+
         surrogate = None
         surrogate_drags: list[float] = []
         if opts.surrogate_model:
@@ -185,7 +239,8 @@ class Deployer:
                     self.out_dir, f"{self.obj}_surrogate_model.npz"
                 ),
             )
-            surrogate_drags.append(surrogate(state))
+            if resume is None:
+                surrogate_drags.append(surrogate(state))
 
         best_actions = self._best_episode_actions() if opts.use_best else None
 
@@ -198,13 +253,39 @@ class Deployer:
         complete_drags = [np.asarray(self.gt.gt_drag)]
         complete_lifts = [np.asarray(self.gt.gt_lift)]
 
-        actions_taken, removed_coords = [], []
+        actions_taken, raw_actions, removed_coords = [], [], []
         best_mesh = env.mesh
         num_steps = max_steps or cfg.agent.timesteps
+        t0 = 0
+        resume_done = False
+
+        if resume is not None:
+            # Replay the completed steps through the env (cheap mesh
+            # surgery; the expensive complete_traj 5000-step re-sims are
+            # restored from the persisted trajectories, NOT recomputed).
+            raw_actions = [int(a) for a in resume["raw_actions"]]
+            for a in raw_actions:
+                state, _, _, _ = env.step(a)
+            actions_taken = [
+                a if a < env.action_space_n else None for a in raw_actions
+            ]
+            removed_coords = [c for c in resume["removed_coords"]]
+            est_vertices = [int(v) for v in resume["est_vertices"]]
+            est_drags = [row for row in resume["est_drags"]]
+            est_lifts = [row for row in resume["est_lifts"]]
+            traj_vertices = [int(v) for v in resume["traj_vertices"]]
+            traj_drags = [row for row in resume["traj_drags"]]
+            traj_lifts = [row for row in resume["traj_lifts"]]
+            complete_drags = list(traj_drags)
+            complete_lifts = list(traj_lifts)
+            surrogate_drags = [float(x) for x in resume["surrogate_drags"]]
+            best_mesh = env.mesh
+            t0 = len(raw_actions)
+            resume_done = bool(resume["done"])
 
         from .viz import vertex_plot
 
-        for t in range(num_steps):
+        for t in range(t0, num_steps if not resume_done else t0):
             if best_actions is not None:
                 if t >= len(best_actions):
                     break
@@ -259,6 +340,7 @@ class Deployer:
                     ),
                 )
             actions_taken.append(action if removing else None)
+            raw_actions.append(action)
 
             if opts.complete_traj and removing and info.removed == 0:
                 d, l = run_sim(env.mesh, cfg)
@@ -272,6 +354,11 @@ class Deployer:
             self._save_est(est_vertices, est_drags, est_lifts)
             if opts.complete_traj:
                 self._save_traj(traj_vertices, traj_drags, traj_lifts)
+            self._save_resume(
+                raw_actions, removed_coords, est_vertices, est_drags,
+                est_lifts, traj_vertices, traj_drags, traj_lifts,
+                surrogate_drags, done, restarts,
+            )
 
             # The reference updates best_mesh unconditionally BEFORE the done
             # check (deploy_dqn.py:420-424 assigns in both branches), so the
@@ -334,4 +421,8 @@ class Deployer:
         print(f"GROUND TRUTH DRAG:\t{gt_final:.6f}")
         print(f"NEW DRAG:\t\t{new_drag:.6f}\tSIM TIME: {final_sim_s:.2f}s")
         print(f"DRAG ERROR:\t{err_pct:.5f}%")
+        # Deployment completed end-to-end: the per-step resume state is no
+        # longer needed (a later --restart must not replay a finished run).
+        if os.path.exists(self.resume_path):
+            os.remove(self.resume_path)
         return result
