@@ -42,6 +42,14 @@ import numpy as np
 import scipy.sparse as sp
 
 
+# Pallas banded kernel on TPU (f32): opt-in via MESHDQN_BANDED_PALLAS=1
+# until profiled end-to-end on hardware (the XLA windowed formulation is
+# the verified production path; the kernel is interpret-mode tested).
+import os as _os
+
+USE_PALLAS = _os.environ.get("MESHDQN_BANDED_PALLAS", "0") == "1"
+
+
 def rcm_permutation(pattern: sp.spmatrix) -> np.ndarray:
     """Reverse Cuthill-McKee ordering of a symmetric sparsity pattern.
 
@@ -135,7 +143,32 @@ class BandedMatrix:
 
     # ------------------------------------------------------------------
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
-        """Y = A @ X for X (n_cols, m) — gather-free windowed contraction."""
+        """Y = A @ X for X (n_cols, m) — gather-free windowed contraction.
+
+        On TPU (f32) this dispatches to the Pallas kernel: padded x pinned
+        whole in VMEM, blocks streamed once, per-row-block windows as VMEM
+        dynamic slices — HBM traffic is exactly the blocks.  The XLA
+        formulation (banded_matmat) materializes the (B, W) window array in
+        HBM every matvec (measured ~8x off roofline) and remains the CPU /
+        f64 / fallback path.
+        """
+        if (
+            USE_PALLAS
+            and self.blocks.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        ):
+            from .pallas_kernels import banded_matmat_pallas
+
+            B, R, W = self.blocks.shape
+            m = W // self.g
+            L = (B + m - 1) * self.g
+            Xpad = jnp.zeros((L, X.shape[1]), dtype=jnp.float32)
+            Xpad = jax.lax.dynamic_update_slice(
+                Xpad, X.astype(jnp.float32), (self.pad, 0)
+            )
+            return banded_matmat_pallas(
+                self.blocks, Xpad, self.g, self.shape[0]
+            )
         return banded_matmat(self.blocks, X, self.pad, self.g, self.shape)
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -233,3 +233,74 @@ def matvec_dual_pallas(
     )(mp, xh, xl)
     y = y[:R]
     return y[:, 0] if squeeze else y
+
+
+# ---------------------------------------------------------------------------
+# Banded-block SpMV (ops/banded.py layout) — the large-mesh CG hot op.
+#
+# XLA's formulation builds the (B, W) overlapping x-windows in HBM every
+# matvec (W/g slice-copies + a broadcast multiply-reduce), measured ~8x off
+# roofline at the finest sweep rows.  Here the padded x is pinned whole in
+# VMEM (L ~ 120 KB << 16 MB), the dense row-blocks stream through the grid
+# once, and each row-block's window is a VMEM dynamic slice — the only HBM
+# traffic is the blocks themselves, exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _banded_kernel(x_ref, blocks_ref, o_ref, *, g, W, sb):
+    i = pl.program_id(0)
+    for j in range(sb):  # static unroll: sb row-blocks per grid step
+        start = (i * sb + j) * g
+        xw = x_ref[pl.ds(start, W), :]  # (W, m) window from pinned VMEM
+        o_ref[j] = jax.lax.dot_general(
+            blocks_ref[j],  # (R, W)
+            xw,
+            (((1,), (0,)), ((), ())),
+            precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _banded_3d_imap(i):
+    z = jnp.int32(0)
+    return (jnp.asarray(i, jnp.int32), z, z)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "n_rows", "sb", "interpret")
+)
+def banded_matmat_pallas(
+    blocks: jnp.ndarray,
+    Xpad: jnp.ndarray,
+    g: int,
+    n_rows: int,
+    sb: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Y = A @ X for a BandedMatrix's blocks (B, R, W), Xpad already padded
+    to (L, m) with L = (B + W/g - 1)*g (ops/banded.py window convention)."""
+    B, R, W = blocks.shape
+    m = Xpad.shape[1]
+    nb = pl.cdiv(B, sb)
+    padb = nb * sb - B
+    if padb:
+        blocks = jnp.pad(blocks, ((0, padb), (0, 0), (0, 0)))
+        # Windows of the zero pad blocks must stay in bounds.
+        Xpad = jnp.pad(Xpad, ((0, padb * g), (0, 0)))
+    mem = None if (interpret or _VMEM is None) else _VMEM
+    kw = {} if mem is None else {"memory_space": mem}
+    y = pl.pallas_call(
+        functools.partial(_banded_kernel, g=g, W=W, sb=sb),
+        out_shape=jax.ShapeDtypeStruct((nb * sb, R, m), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            # Xpad pinned whole; the index map must be EXPLICIT i32 — the
+            # default map canonicalizes to i64 under x64 and Mosaic rejects
+            # it at lowering (see _row_block_imap).
+            pl.BlockSpec(Xpad.shape, _pinned_imap, **kw),
+            pl.BlockSpec((sb, R, W), _banded_3d_imap, **kw),
+        ],
+        out_specs=pl.BlockSpec((sb, R, m), _banded_3d_imap, **kw),
+        interpret=interpret,
+    )(Xpad, blocks)
+    return y.reshape(nb * sb * R, m)[:n_rows]

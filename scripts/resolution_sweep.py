@@ -54,7 +54,10 @@ FUSED_VERTEX_LIMIT = 1600
 # limit and this, the UNFUSED dense invert-once path is used (operators
 # inverted on host under ON_DEVICE_LU_ROW_LIMIT).
 DENSE_TPU_VERTEX_LIMIT = 2600
-CG_TPU_CHUNK = 25
+# 125-step chunks run fine with the banded CG layout (the >=100-step scan
+# crash was observed with the ELL gather layout; banded probes ran 125-step
+# chunks repeatedly, scripts/cg_microbench.py round 3).
+CG_TPU_CHUNK = 125
 
 
 def main(argv=None):
@@ -69,6 +72,12 @@ def main(argv=None):
         "--pad-quantum", type=int, default=768,
         help="shape-quantize fused systems so sweep rows share compiled "
              "modules (0 = off; compile per mesh shape)",
+    )
+    ap.add_argument(
+        "--cg-iters", type=int, nargs=2, default=None, metavar=("U", "M"),
+        help="PCG iteration counts (velocity, mass) for CG rows; default "
+             "= solver defaults (25, 20).  (15, 12) measured equal drag at "
+             "500 steps on the finest row at 1.5x the speed",
     )
     args = ap.parse_args(argv)
 
@@ -98,11 +107,18 @@ def main(argv=None):
             # TPU large rows: sparse CG with bounded scan chunks; mid rows:
             # unfused dense; CPU large rows: unchunked f64-CG.
             use_cg = big and (backend != "tpu" or nv > DENSE_TPU_VERTEX_LIMIT)
+            cg_kw = {}
+            if args.cg_iters is not None:
+                cg_kw = {
+                    "cg_iters_u": args.cg_iters[0],
+                    "cg_iters_m": args.cg_iters[1],
+                }
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
                 method="cg" if use_cg else "dense",
                 cg_chunk=CG_TPU_CHUNK if (use_cg and backend == "tpu") else 0,
+                **cg_kw,
                 # The solver caps on-device LU at ON_DEVICE_LU_ROW_LIMIT
                 # rows (v5e scoped-VMEM; bigger systems crashed the remote
                 # worker) and composes on host above it.

@@ -89,3 +89,59 @@ class TestMatvecPallas:
         y = matvec_dual_pallas(M, x, lo, block_rows=128, interpret=True)
         ref = np.asarray(M) @ np.asarray(x) + np.asarray(M) @ np.asarray(lo)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-6, atol=1e-5)
+
+
+class TestBandedMatmatPallas:
+    """Interpret-mode gates for the banded windowed SpMV kernel (the
+    large-mesh CG hot op; ops/banded.py layout)."""
+
+    def _banded(self, n, density=0.02, seed=1):
+        import scipy.sparse as sp
+
+        from meshdqn_tpu.ops.banded import BandedMatrix, rcm_permutation
+
+        A = sp.random(n, n, density=density, random_state=seed, format="csr")
+        A = A + A.T + sp.eye(n)
+        perm = rcm_permutation(A)
+        Ap = A.tocsr()[perm][:, perm].tocsr()
+        return Ap, BandedMatrix.from_scipy(
+            Ap, dtype=jnp.float32, device_build=False
+        )
+
+    @pytest.mark.parametrize("mr", [1, 2])
+    def test_matches_scipy(self, mr):
+        from meshdqn_tpu.ops.pallas_kernels import banded_matmat_pallas
+
+        rng = np.random.default_rng(0)
+        Ap, Bm = self._banded(600)
+        n = Ap.shape[0]
+        X = rng.standard_normal((n, mr)).astype(np.float32)
+        B, R, W = Bm.blocks.shape
+        L = (B + W // Bm.g - 1) * Bm.g
+        Xpad = np.zeros((L, mr), np.float32)
+        Xpad[Bm.pad : Bm.pad + n] = X
+        Y = banded_matmat_pallas(
+            Bm.blocks, jnp.asarray(Xpad), Bm.g, n, sb=4, interpret=True
+        )
+        ref = Ap @ X
+        np.testing.assert_allclose(np.asarray(Y), ref, rtol=3e-5, atol=2e-5)
+
+    def test_matches_xla_formulation(self):
+        from meshdqn_tpu.ops.banded import banded_matmat
+        from meshdqn_tpu.ops.pallas_kernels import banded_matmat_pallas
+
+        rng = np.random.default_rng(2)
+        Ap, Bm = self._banded(500, seed=3)
+        n = Ap.shape[0]
+        X = rng.standard_normal((n, 1)).astype(np.float32)
+        B, R, W = Bm.blocks.shape
+        L = (B + W // Bm.g - 1) * Bm.g
+        Xpad = np.zeros((L, 1), np.float32)
+        Xpad[Bm.pad : Bm.pad + n] = X
+        y_pl = banded_matmat_pallas(
+            Bm.blocks, jnp.asarray(Xpad), Bm.g, n, sb=8, interpret=True
+        )
+        y_xla = banded_matmat(Bm.blocks, jnp.asarray(X), Bm.pad, Bm.g, Bm.shape)
+        np.testing.assert_allclose(
+            np.asarray(y_pl), np.asarray(y_xla), rtol=3e-5, atol=2e-5
+        )
