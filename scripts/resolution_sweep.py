@@ -146,6 +146,14 @@ def main(argv=None):
                 signal.alarm(deadline_s)
                 try:
                     solver = IPCSSolver(mesh, cfg)
+                    # Warm the exact evolve module(s) the timed solve will
+                    # use (same n_steps => same jit cache entry), then reset
+                    # the trajectory: TIME records the solve, not the JIT —
+                    # the banded-CG chunk module alone compiles for minutes
+                    # per fresh mesh shape (same convention as bench.py's
+                    # warm trial 0).
+                    _w = solver.evolve(solver.initial_state(), args.save_steps)
+                    np.asarray(_w[1])
                     t0 = time.time()
                     sol = solver.solve(args.steps, save_steps=args.save_steps)
                     drag = float(sol["snap_drags"][-1])
