@@ -68,19 +68,27 @@ def rcm_permutation(pattern: sp.spmatrix) -> np.ndarray:
 @dataclass
 class BandedMatrix:
     """Dense banded row-blocks: blocks (B, R, W); col window of block b
-    starts at b*g - pad."""
+    starts at b*g - pad.
+
+    With `aligned128` the stored window of block b instead starts at the
+    128-FLOOR of b*g in padded-x coordinates (entries shifted right by
+    (b*g) mod 128, W widened to absorb it): the Pallas kernel can then
+    take each window as a cheap sublane-dim dynamic slice of x laid out
+    (L/128, 128) — full 128-lane parallelism — instead of a (L, 1) column
+    that uses one lane (measured slower than the XLA form)."""
 
     blocks: jnp.ndarray
     pad: int
     g: int
     shape: tuple
+    aligned128: bool = False
 
     def tree_flatten(self):
-        return (self.blocks,), (self.pad, self.g, self.shape)
+        return (self.blocks,), (self.pad, self.g, self.shape, self.aligned128)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1], aux[2])
+        return cls(children[0], aux[0], aux[1], aux[2], aux[3])
 
     @property
     def nbytes(self) -> int:
@@ -95,6 +103,7 @@ class BandedMatrix:
         R: int = 8,
         g: int | None = None,
         device_build: bool = True,
+        aligned128: bool | None = None,
     ) -> "BandedMatrix":
         """Build from a (reordered) scipy matrix.
 
@@ -103,7 +112,11 @@ class BandedMatrix:
         `device_build` the dense blocks are scattered on device from the
         COO triplets (uploads nnz, not B*R*W — the blocks can be hundreds
         of MB while the triplets are a few MB over the remote tunnel).
+        aligned128 (default: the USE_PALLAS setting) stores the kernel's
+        lane-aligned window layout.
         """
+        if aligned128 is None:
+            aligned128 = USE_PALLAS
         A = A.tocsr()
         A.sum_duplicates()
         A.eliminate_zeros()
@@ -117,7 +130,12 @@ class BandedMatrix:
         B = -(-n_rows // R)
         b = row // R
         pad = int(max(0, (b * g - col).max())) if len(row) else 0
-        j = col - b * g + pad
+        if aligned128:
+            # Window of block b starts at floor(b*g/128)*128 in padded-x
+            # coords (xpad index = col + pad).
+            j = col + pad - (b * g // 128) * 128
+        else:
+            j = col - b * g + pad
         W_req = int(j.max()) + 1 if len(row) else 1
         # W multiple of lcm(g, 128): g | W for the window reshape trick,
         # 128 | W for lane-aligned blocks.
@@ -139,7 +157,9 @@ class BandedMatrix:
             dense = np.zeros((B * R, W), dtype=np.float64)
             dense[row, j] = vals
             blocks = jnp.asarray(dense.reshape(B, R, W), dtype=dtype)
-        return cls(blocks=blocks, pad=pad, g=g, shape=A.shape)
+        return cls(
+            blocks=blocks, pad=pad, g=g, shape=A.shape, aligned128=aligned128
+        )
 
     # ------------------------------------------------------------------
     def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
@@ -152,22 +172,27 @@ class BandedMatrix:
         HBM every matvec (measured ~8x off roofline) and remains the CPU /
         f64 / fallback path.
         """
-        if (
-            USE_PALLAS
-            and self.blocks.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-        ):
-            from .pallas_kernels import banded_matmat_pallas
+        if self.aligned128:
+            from .pallas_kernels import banded_matmat_pallas_aligned
 
             B, R, W = self.blocks.shape
-            m = W // self.g
-            L = (B + m - 1) * self.g
-            Xpad = jnp.zeros((L, X.shape[1]), dtype=jnp.float32)
+            # Cover the largest aligned window AND the plain x range,
+            # rounded to whole 128-lane rows.
+            L = max(((B - 1) * self.g // 128) * 128 + W,
+                    self.shape[1] + self.pad)
+            L = -(-L // 128) * 128
+            mr = X.shape[1]
+            Xpad = jnp.zeros((L, mr), dtype=jnp.float32)
             Xpad = jax.lax.dynamic_update_slice(
                 Xpad, X.astype(jnp.float32), (self.pad, 0)
             )
-            return banded_matmat_pallas(
-                self.blocks, Xpad, self.g, self.shape[0]
+            interpret = jax.default_backend() != "tpu"
+            return banded_matmat_pallas_aligned(
+                self.blocks,
+                Xpad.reshape(L // 128, 128, mr),
+                self.g,
+                self.shape[0],
+                interpret=interpret,
             )
         return banded_matmat(self.blocks, X, self.pad, self.g, self.shape)
 

@@ -252,18 +252,27 @@ def _banded_kernel(x_ref, blocks_ref, o_ref, *, g, W, sb):
     for j in range(sb):  # static unroll: sb row-blocks per grid step
         start = (i * sb + j) * g
         xw = x_ref[pl.ds(start, W), :]  # (W, m) window from pinned VMEM
-        o_ref[j] = jax.lax.dot_general(
-            blocks_ref[j],  # (R, W)
-            xw,
-            (((1,), (0,)), ((), ())),
-            precision=_HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        blk = blocks_ref[j]  # (R, W)
+        # VPU multiply-reduce per RHS column — a (R, W) x (W, m<=2) MXU dot
+        # pads its 1-2-wide output to full tiles (measured SLOWER than the
+        # XLA windowed form at the finest mesh); the elementwise form
+        # streams at bandwidth.
+        m = xw.shape[1]
+        cols = [
+            jnp.sum(blk * xw[:, c][None, :], axis=1, keepdims=True)
+            for c in range(m)
+        ]
+        o_ref[j] = cols[0] if m == 1 else jnp.concatenate(cols, axis=1)
 
 
 def _banded_3d_imap(i):
     z = jnp.int32(0)
     return (jnp.asarray(i, jnp.int32), z, z)
+
+
+def _pinned3_imap(i):
+    z = jnp.int32(0)
+    return (z, z, z)
 
 
 @functools.partial(
@@ -298,6 +307,59 @@ def banded_matmat_pallas(
             # default map canonicalizes to i64 under x64 and Mosaic rejects
             # it at lowering (see _row_block_imap).
             pl.BlockSpec(Xpad.shape, _pinned_imap, **kw),
+            pl.BlockSpec((sb, R, W), _banded_3d_imap, **kw),
+        ],
+        out_specs=pl.BlockSpec((sb, R, m), _banded_3d_imap, **kw),
+        interpret=interpret,
+    )(Xpad, blocks)
+    return y.reshape(nb * sb * R, m)[:n_rows]
+
+
+def _banded_aligned_kernel(x_ref, blocks_ref, o_ref, *, g, W, sb):
+    """Lane-aligned variant: x lives (L/128, 128, m) so every window is a
+    cheap sublane-dim dynamic slice with full 128-lane parallelism; block
+    b's stored window starts at floor(b*g/128)*128 in padded-x coords
+    (ops/banded.py aligned128 layout)."""
+    i = pl.program_id(0)
+    R = blocks_ref.shape[1]
+    Wr = W // 128
+    for j in range(sb):
+        bb = i * sb + j
+        xw = x_ref[pl.ds((bb * g) // 128, Wr)]  # (Wr, 128, m)
+        blk = blocks_ref[j].reshape(R, Wr, 128)
+        o_ref[j] = jnp.sum(
+            blk[..., None] * xw[None], axis=(1, 2)
+        )  # (R, m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "n_rows", "sb", "interpret")
+)
+def banded_matmat_pallas_aligned(
+    blocks: jnp.ndarray,
+    Xpad: jnp.ndarray,
+    g: int,
+    n_rows: int,
+    sb: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Y = A @ X for an aligned128 BandedMatrix; Xpad (L/128, 128, m)."""
+    B, R, W = blocks.shape
+    m = Xpad.shape[2]
+    nb = pl.cdiv(B, sb)
+    padb = nb * sb - B
+    if padb:
+        blocks = jnp.pad(blocks, ((0, padb), (0, 0), (0, 0)))
+        extra = -(-(padb * g) // 128)
+        Xpad = jnp.pad(Xpad, ((0, extra), (0, 0), (0, 0)))
+    mem = None if (interpret or _VMEM is None) else _VMEM
+    kw = {} if mem is None else {"memory_space": mem}
+    y = pl.pallas_call(
+        functools.partial(_banded_aligned_kernel, g=g, W=W, sb=sb),
+        out_shape=jax.ShapeDtypeStruct((nb * sb, R, m), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(Xpad.shape, _pinned3_imap, **kw),
             pl.BlockSpec((sb, R, W), _banded_3d_imap, **kw),
         ],
         out_specs=pl.BlockSpec((sb, R, m), _banded_3d_imap, **kw),

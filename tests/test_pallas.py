@@ -145,3 +145,36 @@ class TestBandedMatmatPallas:
         np.testing.assert_allclose(
             np.asarray(y_pl), np.asarray(y_xla), rtol=3e-5, atol=2e-5
         )
+
+    @pytest.mark.parametrize("mr", [1, 2])
+    def test_aligned128_layout_matches_scipy(self, mr):
+        """The lane-aligned kernel layout (x as (L/128, 128, m), per-block
+        windows at 128-floors) — the TPU production path for the banded CG
+        SpMV — dispatched through BandedMatrix.matmat (interpret on CPU)."""
+        from meshdqn_tpu.ops.banded import BandedMatrix
+
+        rng = np.random.default_rng(5)
+        Ap, _ = self._banded(700, seed=7)
+        Bm = BandedMatrix.from_scipy(
+            Ap, dtype=jnp.float32, device_build=False, aligned128=True
+        )
+        assert Bm.aligned128
+        X = rng.standard_normal((Ap.shape[1], mr)).astype(np.float32)
+        Y = np.asarray(Bm.matmat(jnp.asarray(X)))
+        ref = Ap @ X
+        np.testing.assert_allclose(Y, ref, rtol=3e-5, atol=2e-5)
+
+    def test_aligned128_rectangular(self):
+        from meshdqn_tpu.ops.banded import BandedMatrix
+
+        rng = np.random.default_rng(6)
+        Ap, _ = self._banded(700, seed=8)
+        for M in (Ap[: 700 // 2, :], Ap[:, : 700 // 2].tocsr()):
+            Bm = BandedMatrix.from_scipy(
+                M, dtype=jnp.float32, device_build=False, aligned128=True
+            )
+            X = rng.standard_normal((M.shape[1], 1)).astype(np.float32)
+            Y = np.asarray(Bm.matmat(jnp.asarray(X)))
+            np.testing.assert_allclose(
+                Y, M @ X, rtol=3e-5, atol=2e-5
+            )
