@@ -53,6 +53,23 @@ class DQNConfig:
     # Global-norm gradient clipping before the optimizer; 0 disables (the
     # reference has none — round-2 value divergence motivated adding it).
     grad_clip: float = 0.0
+    # 'swap' = the reference's alternating-role scheme (airfoil_dqn.py:185):
+    # both nets learn, roles exchange every target_update grads.  Measured on
+    # TPU this has NO stationary anchor — the two nets co-inflate through the
+    # max-operator bias (round-3 ys930 @136k grads: mean Q 1.2e5 against true
+    # returns <= ~22, greedy collapsed onto one action) — so training configs
+    # use 'copy': net1 is always online and net2 is a frozen snapshot
+    # hard-copied from net1 every target_update grads (canonical DQN anchor).
+    target_mode: str = "swap"
+    # True decouples action selection from evaluation in the bootstrap
+    # (van Hasselt double-DQN): a* = argmax Q_online(s'), v = Q_target(s',a*).
+    # False = the reference's plain max over the other net.
+    double: bool = False
+    # Clamp the Bellman target to [-c, +c]; 0 disables.  Episode returns are
+    # bounded (|r| <= ~22 measured over 27k episodes, episodes <= ~45 steps),
+    # so a generous c is non-binding at the optimum yet makes value runaway
+    # mathematically impossible.
+    target_clip: float = 0.0
 
 
 class DQNState(NamedTuple):
@@ -94,6 +111,10 @@ def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
 
 def init_dqn(params1: dict, params2: dict, cfg: DQNConfig) -> DQNState:
     opt = make_optimizer(cfg)
+    if cfg.target_mode == "copy":
+        # Standard DQN: the target starts as an exact snapshot of the online
+        # net (the independent params2 init is only meaningful under 'swap').
+        params2 = jax.tree.map(jnp.array, params1)
     return DQNState(
         params1=params1,
         params2=params2,
@@ -113,9 +134,22 @@ def dqn_loss(online_params, target_params, batch: TransitionBatch, cfg: DQNConfi
     q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
 
     q_next = _q_values(target_params, batch.next_state, cfg.topk, cfg.head)
-    v_next = jnp.max(q_next, axis=1)
+    if cfg.double:
+        # van Hasselt double-DQN: the ONLINE net picks a*, the target net
+        # evaluates it — decoupling kills most of the max-operator
+        # overestimation bias of the plain max (reference behaviour below).
+        q_next_online = _q_values(
+            online_params, batch.next_state, cfg.topk, cfg.head
+        )
+        a_star = jnp.argmax(q_next_online, axis=1)
+        v_next = jnp.take_along_axis(q_next, a_star[:, None], axis=1)[:, 0]
+    else:
+        v_next = jnp.max(q_next, axis=1)
     v_next = jnp.where(batch.non_final, v_next, 0.0)
-    target = jax.lax.stop_gradient(batch.reward + cfg.gamma * v_next)
+    target = batch.reward + cfg.gamma * v_next
+    if cfg.target_clip > 0:
+        target = jnp.clip(target, -cfg.target_clip, cfg.target_clip)
+    target = jax.lax.stop_gradient(target)
     return jnp.mean(optax.huber_loss(q_sa, target, delta=cfg.huber_delta))
 
 
@@ -127,6 +161,20 @@ def _train_step_impl(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):
         updates, opt_state = opt.update(grads, opt_state, online)
         online = optax.apply_updates(online, updates)
         return online, opt_state, loss
+
+    if cfg.target_mode == "copy":
+        # Anchored DQN: net1 always online, net2 a frozen snapshot refreshed
+        # by hard copy every target_update gradient applications.
+        p1, o1, loss = step_net(state.params1, state.params2, state.opt1)
+        num_grads = state.num_grads + 1
+        do_copy = num_grads % cfg.target_update == 0
+        p2 = jax.tree.map(
+            lambda a, b: jnp.where(do_copy, a, b), p1, state.params2
+        )
+        return (
+            state._replace(params1=p1, params2=p2, opt1=o1, num_grads=num_grads),
+            loss,
+        )
 
     def branch_net1(s: DQNState):
         p1, o1, loss = step_net(s.params1, s.params2, s.opt1)

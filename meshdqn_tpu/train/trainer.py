@@ -108,6 +108,9 @@ class Trainer:
             topk=0.1,
             head=agent.head,
             grad_clip=opt.grad_clip,
+            target_mode=agent.target_mode,
+            double=agent.double,
+            target_clip=opt.target_clip,
         )
         self.dqn = init_dqn(p1, p2, self.dqn_cfg)
         # Multi-chip data parallelism (decided early: it picks the replay

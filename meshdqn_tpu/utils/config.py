@@ -74,6 +74,13 @@ class AgentConfig:
     # Q-network output head: 'softmax' = reference quirk (airfoilgcnn.py:143),
     # 'linear' = standard raw-Q head (stable; see models/noderemoval.forward).
     head: str = "softmax"
+    # Target-network scheme: 'swap' = the reference's alternating roles
+    # (airfoil_dqn.py:185, no stationary anchor — measured value runaway,
+    # rl/dqn.py DQNConfig); 'copy' = canonical frozen-snapshot target.
+    target_mode: str = "swap"
+    # van Hasselt double-DQN bootstrap (select with online, evaluate with
+    # target).  False = the reference's plain max over the other net.
+    double: bool = False
 
 
 @dataclass
@@ -84,6 +91,10 @@ class OptimizerConfig:
     # Global-norm gradient clip applied before Adam; 0 = off (reference
     # parity).  Training configs enable it against value divergence.
     grad_clip: float = 0.0
+    # Clamp the Bellman target to [-c, +c]; 0 = off (reference parity).
+    # Episode returns are bounded (|r| <= ~22 measured), so a generous c is
+    # non-binding at the optimum yet hard-bounds any value runaway.
+    target_clip: float = 0.0
 
 
 @dataclass

@@ -484,3 +484,128 @@ class TestDeviceReplay:
             np.asarray(dev.store.reward),
             np.array([8, 9, 10, 3, 4, 5, 6, 7], np.float32),
         )
+
+
+class TestAnchoredDQN:
+    """target_mode='copy' + double + target_clip: the round-3 stabilization
+    recipe (rl/dqn.py DQNConfig) that replaces the reference's anchorless
+    alternating-role swap (airfoil_dqn.py:185) in the training configs."""
+
+    def _buf(self):
+        buf = ReplayBuffer(capacity=100, n_nodes=10, n_features=17, edge_budget=16)
+        for i in range(12):
+            g = make_graph(10, 10, [(0, 1), (1, 2)], seed=i, e_pad=16)
+            g2 = make_graph(10, 10, [(0, 1)], seed=i + 100, e_pad=16)
+            buf.push(g, i % 11, g2 if i % 3 else None, float(i) / 10)
+        return buf
+
+    def test_copy_mode_init_syncs_target(self):
+        p1 = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        state = init_dqn(p1, p2, DQNConfig(target_mode="copy"))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params1),
+            jax.tree_util.tree_leaves(state.params2),
+        ):
+            assert np.array_equal(a, b)
+
+    def test_copy_mode_freezes_then_snapshots_target(self):
+        p1 = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(lr=1e-3, target_update=3, topk=0.1, target_mode="copy")
+        state = init_dqn(p1, p2, cfg)
+        buf, rng = self._buf(), np.random.default_rng(0)
+
+        frozen = jax.tree_util.tree_leaves(state.params2)[0].copy()
+        for i in range(1, 7):
+            state, loss = train_step(state, buf.sample(4, rng), cfg)
+            assert np.isfinite(float(loss))
+            # online always net1; select never flips in copy mode
+            assert bool(state.select)
+            l1 = jax.tree_util.tree_leaves(state.params1)
+            l2 = jax.tree_util.tree_leaves(state.params2)
+            if i % cfg.target_update == 0:
+                # snapshot: target == online exactly at the copy boundary
+                assert all(np.array_equal(a, b) for a, b in zip(l1, l2))
+                frozen = l2[0].copy()
+            else:
+                # frozen between copies (and != the moving online net)
+                assert np.array_equal(l2[0], frozen)
+
+    def test_double_decouples_selection_from_evaluation(self):
+        import optax
+
+        from meshdqn_tpu.rl import dqn_loss
+        from meshdqn_tpu.rl.dqn import _q_values
+
+        p_on = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p_tg = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        buf, rng = self._buf(), np.random.default_rng(0)
+        batch = buf.sample(8, rng)
+        base = dict(lr=1e-3, topk=0.1, head="linear", gamma=0.99)
+        l_max = float(dqn_loss(p_on, p_tg, batch, DQNConfig(**base, double=False)))
+        l_dbl = float(dqn_loss(p_on, p_tg, batch, DQNConfig(**base, double=True)))
+
+        # hand-compute both targets from the raw Q tables
+        q = np.asarray(_q_values(p_on, batch.state, 0.1, "linear"))
+        q_sa = q[np.arange(len(q)), np.asarray(batch.action)]
+        qt = np.asarray(_q_values(p_tg, batch.next_state, 0.1, "linear"))
+        qo = np.asarray(_q_values(p_on, batch.next_state, 0.1, "linear"))
+        nf = np.asarray(batch.non_final)
+        r = np.asarray(batch.reward)
+        v_max = np.where(nf, qt.max(axis=1), 0.0)
+        a_star = np.argmax(qo, axis=1)  # ONLINE selects ...
+        v_dbl = np.where(nf, qt[np.arange(len(qt)), a_star], 0.0)  # target evaluates
+
+        def huber(err):
+            a = np.abs(err)
+            return np.mean(np.where(a <= 1.0, 0.5 * err**2, a - 0.5))
+
+        assert np.isclose(l_max, huber(q_sa - (r + 0.99 * v_max)), rtol=1e-5)
+        assert np.isclose(l_dbl, huber(q_sa - (r + 0.99 * v_dbl)), rtol=1e-5)
+
+    def test_target_clip_bounds_targets(self):
+        from meshdqn_tpu.rl import dqn_loss
+
+        p_on = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p_tg = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        # inflate the target net so raw bootstrap targets are huge
+        p_big = jax.tree_util.tree_map(lambda x: x * 50.0, p_tg)
+        buf, rng = self._buf(), np.random.default_rng(0)
+        batch = buf.sample(8, rng)
+        base = dict(topk=0.1, head="linear", gamma=0.99, huber_delta=1.0)
+        l_raw = float(dqn_loss(p_on, p_big, batch, DQNConfig(**base)))
+        l_clip = float(
+            dqn_loss(p_on, p_big, batch, DQNConfig(**base, target_clip=50.0))
+        )
+        # Huber(delta=1) loss ~ |err|; clipping the target at 50 bounds the
+        # per-row error by ~50 + |Q_on|, so the clipped loss is much smaller
+        assert l_clip < l_raw
+        assert l_clip < 50.0 + 10.0  # |Q_on| of a fresh net is O(1)
+
+    def test_anchored_training_stays_bounded(self):
+        # 60 grad steps on rewards in [-1, 1] with the full recipe: Q must
+        # stay well inside the clip bound (regression for the round-2/3
+        # value runaway).
+        from functools import partial
+
+        p1 = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p2 = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        cfg = DQNConfig(
+            lr=1e-3,
+            target_update=5,
+            topk=0.1,
+            head="linear",
+            gamma=0.99,
+            grad_clip=10.0,
+            target_mode="copy",
+            double=True,
+            target_clip=50.0,
+        )
+        state = init_dqn(p1, p2, cfg)
+        buf, rng = self._buf(), np.random.default_rng(0)
+        for _ in range(60):
+            state, loss = train_step(state, buf.sample(4, rng), cfg)
+        g = make_graph(10, 10, [(0, 1), (1, 2)], seed=7, e_pad=16)
+        q = forward(state.params1, g, topk=0.1, head="linear")
+        assert float(jnp.max(jnp.abs(q))) < 60.0
