@@ -70,6 +70,15 @@ class DQNConfig:
     # so a generous c is non-binding at the optimum yet makes value runaway
     # mathematically impossible.
     target_clip: float = 0.0
+    # Conservative-Q (CQL-style) regularizer weight; 0 disables.  With 181
+    # actions and ~9-step episodes most (s, a) pairs are NEVER in the replay,
+    # so generalization assigns them arbitrary values, the bootstrap max
+    # picks the largest, and Q inflates without bound (measured: Q mean
+    # drifts +0 -> +32 in 6k offline grad steps at every target cadence).
+    # alpha * E[logsumexp_a Q(s,a) - Q(s,a_data)] pushes unseen actions'
+    # values DOWN exactly as hard as generalization pushes them up
+    # (Kumar et al. 2020), pinning the value scale to the observed returns.
+    cql_alpha: float = 0.0
 
 
 class DQNState(NamedTuple):
@@ -86,14 +95,16 @@ def make_optimizer(cfg: DQNConfig) -> optax.GradientTransformation:
     # the Adam moments — optax.add_decayed_weights placed before adam.
     #
     # The milestones are specified in GLOBAL gradient applications
-    # (airfoil_dqn.py:172-176), but each net carries its own optimizer whose
-    # internal count only advances while that net is online; the strict
-    # role alternation every target_update splits global steps evenly, so
-    # per-net boundaries sit at half the global milestones.
+    # (airfoil_dqn.py:172-176).  Under 'swap' each net carries its own
+    # optimizer whose internal count only advances while that net is online;
+    # the strict role alternation every target_update splits global steps
+    # evenly, so per-net boundaries sit at half the global milestones.
+    # Under 'copy' net1's optimizer sees EVERY global step — no halving.
+    div = 2 if cfg.target_mode == "swap" else 1
     schedule = optax.piecewise_constant_schedule(
         init_value=cfg.lr,
         boundaries_and_scales={
-            int(m) // 2: cfg.milestone_gamma for m in cfg.milestones
+            int(m) // div: cfg.milestone_gamma for m in cfg.milestones
         },
     )
     steps = []
@@ -150,7 +161,11 @@ def dqn_loss(online_params, target_params, batch: TransitionBatch, cfg: DQNConfi
     if cfg.target_clip > 0:
         target = jnp.clip(target, -cfg.target_clip, cfg.target_clip)
     target = jax.lax.stop_gradient(target)
-    return jnp.mean(optax.huber_loss(q_sa, target, delta=cfg.huber_delta))
+    loss = jnp.mean(optax.huber_loss(q_sa, target, delta=cfg.huber_delta))
+    if cfg.cql_alpha > 0:
+        lse = jax.scipy.special.logsumexp(q, axis=1)
+        loss = loss + cfg.cql_alpha * jnp.mean(lse - q_sa)
+    return loss
 
 
 def _train_step_impl(state: DQNState, batch: TransitionBatch, cfg: DQNConfig):

@@ -111,6 +111,7 @@ class Trainer:
             target_mode=agent.target_mode,
             double=agent.double,
             target_clip=opt.target_clip,
+            cql_alpha=opt.cql_alpha,
         )
         self.dqn = init_dqn(p1, p2, self.dqn_cfg)
         # Multi-chip data parallelism (decided early: it picks the replay

@@ -95,6 +95,9 @@ class OptimizerConfig:
     # Episode returns are bounded (|r| <= ~22 measured), so a generous c is
     # non-binding at the optimum yet hard-bounds any value runaway.
     target_clip: float = 0.0
+    # Conservative-Q regularizer weight (rl/dqn.py DQNConfig.cql_alpha);
+    # 0 = off (reference parity).
+    cql_alpha: float = 0.0
 
 
 @dataclass

@@ -609,3 +609,23 @@ class TestAnchoredDQN:
         g = make_graph(10, 10, [(0, 1), (1, 2)], seed=7, e_pad=16)
         q = forward(state.params1, g, topk=0.1, head="linear")
         assert float(jnp.max(jnp.abs(q))) < 60.0
+
+    def test_cql_penalty_exact(self):
+        import optax
+
+        from meshdqn_tpu.rl import dqn_loss
+        from meshdqn_tpu.rl.dqn import _q_values
+
+        p_on = init_params(jax.random.PRNGKey(0), 17, 11, conv_width=8, topk=0.1)
+        p_tg = init_params(jax.random.PRNGKey(1), 17, 11, conv_width=8, topk=0.1)
+        buf, rng = self._buf(), np.random.default_rng(0)
+        batch = buf.sample(8, rng)
+        base = dict(topk=0.1, head="linear", gamma=0.99)
+        l0 = float(dqn_loss(p_on, p_tg, batch, DQNConfig(**base)))
+        l1 = float(dqn_loss(p_on, p_tg, batch, DQNConfig(**base, cql_alpha=0.5)))
+        q = np.asarray(_q_values(p_on, batch.state, 0.1, "linear"))
+        q_sa = q[np.arange(len(q)), np.asarray(batch.action)]
+        lse = np.log(np.sum(np.exp(q), axis=1))
+        assert np.isclose(l1, l0 + 0.5 * np.mean(lse - q_sa), rtol=1e-5)
+        # the penalty is nonnegative (lse >= q_sa pointwise)
+        assert l1 >= l0
