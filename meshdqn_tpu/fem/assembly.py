@@ -53,9 +53,14 @@ from .spaces import P1Space, P2Space, VectorP2Space
 # Geometry helpers
 # ----------------------------------------------------------------------
 
-def cell_jacobians(mesh: TriMesh):
-    """Per-cell affine maps: J (C,2,2), |det J| (C,), J^{-1} (C,2,2)."""
-    p = mesh.coords[mesh.cells]  # (C,3,2)
+def cell_jacobians(mesh: TriMesh, cell_ids: np.ndarray | None = None):
+    """Per-cell affine maps: J (C,2,2), |det J| (C,), J^{-1} (C,2,2).
+
+    cell_ids restricts the tabulation to a subset of cells (e.g. the
+    airfoil-facet cells on the probe-assembly hot path) — same layout,
+    C = len(cell_ids)."""
+    cells = mesh.cells if cell_ids is None else mesh.cells[cell_ids]
+    p = mesh.coords[cells]  # (C,3,2)
     J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=2)  # columns
     det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
     absdet = np.abs(det)

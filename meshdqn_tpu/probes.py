@@ -15,6 +15,7 @@ products — this is what makes per-step drag tracking free on device
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -35,6 +36,22 @@ class ForceProbe:
         return float(self.d_u @ u + self.d_p @ p)
 
 
+@lru_cache(maxsize=4)
+def _ref_facet_tables(order: int = 3):
+    """Mesh-independent reference tabulation for facet quadrature: the
+    Gauss points/weights and the P2-gradient / P1-value tables at the
+    quadrature points of each of the 3 local edges.  Probe assembly runs
+    once per removal on the env hot path; recomputing these (leggauss +
+    polynomial evaluation) cost ~1.5 ms/removal before caching."""
+    t1d, w1d = gauss_legendre_1d(order)
+    K = len(t1d)
+    ref_pts = np.stack([facet_points(l, t1d) for l in range(3)])  # (3,K,2)
+    flat = ref_pts.reshape(-1, 2)
+    g2 = p2_grads(flat).reshape(3, K, 6, 2)
+    phi1 = p1_basis(flat).reshape(3, K, 3)
+    return w1d, g2, phi1
+
+
 def _facet_tabulation(mesh: TriMesh, markers: BoundaryMarkers, tags: tuple):
     """Shared per-facet geometry/quadrature tabulation for force probes."""
     sel = np.isin(markers.markers, tags)
@@ -43,17 +60,12 @@ def _facet_tabulation(mesh: TriMesh, markers: BoundaryMarkers, tags: tuple):
     n = mesh.facet_normals()[sel]  # (F,2)
     L = mesh.facet_lengths()[sel]
 
-    t1d, w1d = gauss_legendre_1d(3)
-    K = len(t1d)
-    F = len(fc)
-    ref_pts = np.stack([facet_points(l, t1d) for l in range(3)])  # (3,K,2)
-    flat = ref_pts[fl].reshape(-1, 2)
+    w1d, g2_tab, phi1_tab = _ref_facet_tables(3)
 
-    _, _, Jinv = cell_jacobians(mesh)
-    g2f = np.einsum(
-        "fkad,fde->fkae", p2_grads(flat).reshape(F, K, 6, 2), Jinv[fc]
-    )  # (F,K,6,2)
-    phi1f = p1_basis(flat).reshape(F, K, 3)
+    # Jacobians only for the facet cells (F << C on the hot path).
+    _, _, Jinv_fc = cell_jacobians(mesh, cell_ids=fc)
+    g2f = np.einsum("fkad,fde->fkae", g2_tab[fl], Jinv_fc)  # (F,K,6,2)
+    phi1f = phi1_tab[fl]  # (F,K,3)
     W = w1d[None, :] * L[:, None]  # (F,K)
     E = _strain_basis(g2f)  # (F,K,12,2,2)
     # Direction-independent kernels: contract with e afterwards.
