@@ -99,6 +99,22 @@ def save(run: str) -> None:
                 float(np.mean(last) - np.mean(prev)), 4
             )
             trend["reward_ma_last100"] = round(float(np.mean(rew[-100:])), 4)
+    # Value-health summary: the per-step Huber loss median is O(1) on a
+    # healthy run and climbs into 1e4+ under value runaway (the round-2/3
+    # divergence signature) — surface it next to the reward trend.
+    lpath = os.path.join(dst, f"{run}_losses.npy")
+    if os.path.exists(lpath):
+        try:
+            losses = np.load(lpath, allow_pickle=True).astype(np.float64)
+            if len(losses):
+                tail = losses[-10000:]
+                trend["grad_steps"] = int(len(losses))
+                trend["loss_median_last10k"] = round(float(np.median(tail)), 4)
+                trend["loss_p99_last10k"] = round(
+                    float(np.percentile(tail, 99)), 3
+                )
+        except (TypeError, ValueError):
+            pass
     with open(os.path.join(dst, "PACK.json"), "w") as f:
         json.dump({"run": run, "step": step, **extras, **trend}, f, indent=1)
     total = sum(
