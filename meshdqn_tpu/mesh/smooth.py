@@ -61,18 +61,24 @@ def _star_topology(mesh: TriMesh):
 
 def smooth(mesh: TriMesh, num_iterations: int = 50, use_native: bool = True) -> TriMesh:
     """Return a new TriMesh with smoothed interior vertex positions."""
-    topo = _star_topology(mesh)
     if use_native:
         try:
-            from ..native import smooth_native
+            # Fully-native path: the star topology is built inside the C++
+            # call from raw cells (the NumPy `_star_topology` prep cost
+            # ~2.9 ms per removal on the env hot path; bit parity with the
+            # prep+smooth_native path is asserted in tests/test_native.py).
+            from ..native import smooth_cells_native
 
-            coords = smooth_native(mesh.coords, *topo, num_iterations)
+            coords = smooth_cells_native(
+                mesh.coords, mesh.cells, mesh.boundary_vertex_mask,
+                num_iterations,
+            )
             # Connectivity is untouched -> share the topology instead of
             # re-running edge extraction (with_coords).
             return mesh.with_coords(coords)
         except RuntimeError:
             pass
-    return _smooth_python(mesh, topo, num_iterations)
+    return _smooth_python(mesh, _star_topology(mesh), num_iterations)
 
 
 def _smooth_python(mesh: TriMesh, topo, num_iterations: int) -> TriMesh:

@@ -78,6 +78,11 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
         ]
         lib.smooth_mesh.restype = None
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.smooth_mesh_cells.argtypes = [
+            f64p, ctypes.c_int64, i64p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.smooth_mesh_cells.restype = None
         lib.delaunay_triangulate.argtypes = [f64p, ctypes.c_int64, i64p, ctypes.c_int64]
         lib.delaunay_triangulate.restype = ctypes.c_int64
         lib.polyline_min_dist.argtypes = [
@@ -108,6 +113,24 @@ def smooth_native(coords, nbr_indices, nbr_offsets, opp_a, opp_b, opp_offsets,
         np.ascontiguousarray(opp_offsets, np.int64),
         np.ascontiguousarray(interior, np.int64),
         len(interior), iters,
+    )
+    return out
+
+
+def smooth_cells_native(coords, cells, boundary_mask, iters: int) -> np.ndarray:
+    """Topology-building smoother: one native call from raw (coords, cells,
+    boundary mask) — replaces the NumPy `_star_topology` prep on the env
+    hot path.  Bit-identical to `smooth_native` over `_star_topology`
+    (ascending neighbour order preserved; asserted in tests)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    out = np.ascontiguousarray(coords, dtype=np.float64).copy()
+    lib.smooth_mesh_cells(
+        out, len(out),
+        np.ascontiguousarray(cells, np.int64), len(cells),
+        np.ascontiguousarray(boundary_mask, np.uint8),
+        iters,
     )
     return out
 

@@ -101,3 +101,21 @@ class TestNativePolylineDistance:
         assert abs(d[0]) < 1e-15
         assert abs(d[1] - 1.0) < 1e-15
         assert abs(d[2] - 0.5) < 1e-15
+
+
+def test_smooth_cells_native_bit_parity():
+    """The topology-building native smoother must match the NumPy-prep +
+    smooth_native path to the last bit (same ascending neighbour order,
+    same Gauss-Seidel sweep)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from meshdqn_tpu.mesh import read_xdmf
+    from meshdqn_tpu.mesh.smooth import _star_topology
+    from meshdqn_tpu.native import smooth_cells_native, smooth_native
+
+    mesh = read_xdmf("/root/reference/xdmf_files/ys930_0.15000_triangle.xdmf")
+    topo = _star_topology(mesh)
+    ref = smooth_native(mesh.coords, *topo, 50)
+    got = smooth_cells_native(mesh.coords, mesh.cells, mesh.boundary_vertex_mask, 50)
+    assert np.array_equal(ref, got)
