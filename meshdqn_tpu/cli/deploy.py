@@ -77,7 +77,26 @@ def main(argv=None):
     n_feat = 2 + 3 * (cfg.agent.solver_steps // cfg.agent.save_steps)
     p1 = init_params(jax.random.PRNGKey(0), n_feat, n_actions, conv_width=128, topk=0.1)
     p2 = init_params(jax.random.PRNGKey(1), n_feat, n_actions, conv_width=128, topk=0.1)
-    dqn = init_dqn(p1, p2, DQNConfig())
+    # Mirror the trainer's DQNConfig exactly: the optimizer chain shape
+    # (grad_clip adds a transform) must match the checkpointed opt-state
+    # tree or orbax restore rejects it.
+    dqn = init_dqn(
+        p1,
+        p2,
+        DQNConfig(
+            lr=cfg.optimizer.lr,
+            weight_decay=cfg.optimizer.weight_decay,
+            gamma=cfg.epsilon.gamma,
+            target_update=cfg.agent.target_update,
+            topk=0.1,
+            head=cfg.agent.head,
+            grad_clip=cfg.optimizer.grad_clip,
+            target_mode=cfg.agent.target_mode,
+            double=cfg.agent.double,
+            target_clip=cfg.optimizer.target_clip,
+            cql_alpha=cfg.optimizer.cql_alpha,
+        ),
+    )
     ckpt = CheckpointManager(os.path.join(base, "ckpt"))
     restored = ckpt.restore(dqn)
     ckpt_step = None
