@@ -96,8 +96,13 @@ def pause_trainers(run_root: str | None = None, timeout_s: float = 240.0) -> lis
                 live = False
         if live:
             p = os.path.join(d, "PAUSE")
-            with open(p, "w"):
-                pass
+            # The pauser's pid rides along (the trainer's os.replace of
+            # PAUSE -> PAUSED preserves content): run_train_loop.sh
+            # auto-resumes if this process dies holding the pause, so a
+            # crashed bench can no longer stall training across rounds
+            # (VERDICT r3: both trainers sat PAUSED for hours).
+            with open(p, "w") as f:
+                f.write(str(os.getpid()))
             pending[p] = d
     if not pending:
         return []

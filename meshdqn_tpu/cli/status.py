@@ -59,6 +59,14 @@ def run_status(run_dir: str) -> dict | None:
         if len(rewards) >= w:
             status[f"reward_ma{w}"] = round(sum(rewards[-w:]) / w, 3)
     status["reward_last"] = round(rewards[-1], 3)
+    # Pause state: a PAUSE request or PAUSED ack holds the run loop; show
+    # its age so a stuck pause (dead pauser) is visible at a glance.
+    for name in ("PAUSED", "PAUSE"):
+        p = os.path.join(run_dir, name)
+        if os.path.exists(p):
+            status["paused"] = name
+            status["paused_age_s"] = round(time.time() - os.path.getmtime(p), 1)
+            break
     # Checkpoint freshness.
     ckpt = os.path.join(run_dir, "ckpt")
     if os.path.isdir(ckpt):

@@ -88,6 +88,23 @@ class MetricsRecorder:
         self.actions = _load("actions.npy", [])
         self.epss = _load("eps.npy", [])
 
+    def truncate(self, episodes: int, steps: int, losses: int | None = None):
+        """Align resumed arrays with the restored checkpoint counters.
+
+        Metric writes and checkpoint saves happen on independent cadences,
+        so packed arrays can run a few entries AHEAD of the checkpoint the
+        run actually resumes from; without truncation those trailing
+        episodes/steps are re-run and appended twice (ADVICE r3).  Loss
+        count lags global_step (skip-until-batch), so it is truncated to
+        the exact count recorded in the checkpoint when available and left
+        alone otherwise."""
+        self.rewards = self.rewards[:episodes]
+        self.ep_rewards = self.ep_rewards[:episodes]
+        self.actions = self.actions[:episodes]
+        self.epss = self.epss[:steps]
+        if losses is not None:
+            self.losses = self.losses[: int(losses)]
+
     def plot(self):
         self._flush_losses()
         try:

@@ -45,7 +45,8 @@ from ..utils import Config
 from .checkpoint import CheckpointManager
 from .metrics import MetricsRecorder
 
-REPLAY_CAPACITY = 10_000  # airfoil_dqn.py:412
+REPLAY_CAPACITY = 10_000  # reference default (airfoil_dqn.py:412); see
+# AgentConfig.replay_capacity for the per-run override.
 
 
 @dataclass
@@ -122,10 +123,11 @@ class Trainer:
         self.data_parallel = (
             data_parallel and jax.device_count() > 1 and divisible
         )
+        capacity = getattr(agent, "replay_capacity", REPLAY_CAPACITY)
         if self.data_parallel:
             # dp mode shards host-sampled batches over the mesh.
             self.replay = ReplayBuffer(
-                REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+                capacity, agent.N_closest, n_feat, agent.edge_budget
             )
         else:
             # Single-device: device-resident ring; gradient batches are
@@ -134,7 +136,7 @@ class Trainer:
             from ..rl import DeviceReplay
 
             self.replay = DeviceReplay(
-                REPLAY_CAPACITY, agent.N_closest, n_feat, agent.edge_budget
+                capacity, agent.N_closest, n_feat, agent.edge_budget
             )
         self.batch_size = opt.batch_size
         self.rng = np.random.default_rng(config.seed)
@@ -145,6 +147,17 @@ class Trainer:
 
         self.jsonlog = JsonLogger(os.path.join(self.save_dir, "train_log.jsonl"))
         self.ckpt = CheckpointManager(os.path.join(self.save_dir, "ckpt"))
+        # Best-policy snapshot: whenever the 1000-episode reward moving
+        # average makes a new high at a checkpoint boundary, the nets are
+        # also saved to ckpt_best/.  Late-training collapse (round 3's ys930
+        # run peaked at MA +0.88 @10.3k episodes then degraded to -1.55 @40k
+        # with only the LATEST checkpoint retained) can no longer destroy
+        # the deliverable policy.
+        self.ckpt_best = CheckpointManager(
+            os.path.join(self.save_dir, "ckpt_best"), max_to_keep=1
+        )
+        self._best_ma: float = float("-inf")
+        self.best_window = 1000  # episodes in the best-policy moving average
         self.state = TrainerState()
         self.plot_every = max(25, agent.write_every)
         self.write_every = agent.write_every
@@ -171,6 +184,17 @@ class Trainer:
                 self.state.global_step = int(extras["global_step"])
                 self.state.episode = int(extras["episode"])
                 self.metrics.load()
+                # Metric arrays are packed/written on their own cadence and
+                # can run AHEAD of the checkpoint counters (autopack between
+                # a write and a save); truncate so resumed episodes are not
+                # recorded twice (ADVICE r3: ah93w145 pack carried 11 extra
+                # episodes / ~510 extra losses vs its checkpoint).
+                self.metrics.truncate(
+                    episodes=self.state.episode,
+                    steps=self.state.global_step,
+                    losses=extras.get("n_losses"),
+                )
+                self._best_ma = float(extras.get("best_ma", float("-inf")))
                 if os.path.exists(self._replay_path):
                     ok = self.replay.load(self._replay_path)
                     self.jsonlog.log(
@@ -537,14 +561,30 @@ class Trainer:
         if self.state.episode == self._last_saved_episode:
             return
         self._last_saved_episode = self.state.episode
-        self.ckpt.save(
-            self.state.episode,
-            self.dqn,
-            {
-                "global_step": self.state.global_step,
-                "episode": self.state.episode,
-            },
-        )
+        rewards = self.metrics.rewards
+        w = self.best_window
+        ma = float(np.mean(rewards[-w:])) if len(rewards) >= w else None
+        new_best = ma is not None and ma > self._best_ma
+        if new_best:
+            self._best_ma = ma
+        extras = {
+            "global_step": self.state.global_step,
+            "episode": self.state.episode,
+            # Metric-array lengths at save time let resume truncate the
+            # arrays back into exact alignment with the counters.
+            "n_losses": len(self.metrics.losses) + len(self.metrics._pending),
+            "best_ma": self._best_ma,
+        }
+        self.ckpt.save(self.state.episode, self.dqn, extras)
+        # Best-policy snapshot on a new 1000-episode moving-average high.
+        if new_best:
+            self.ckpt_best.save(
+                self.state.episode, self.dqn, dict(extras, best_ma1000=ma)
+            )
+            self.jsonlog.log(
+                "best_checkpoint", episode=self.state.episode,
+                ma1000=round(ma, 4),
+            )
 
     def summary(self, t_start: float) -> dict:
         return {

@@ -81,6 +81,13 @@ class AgentConfig:
     # van Hasselt double-DQN bootstrap (select with online, evaluate with
     # target).  False = the reference's plain max over the other net.
     double: bool = False
+    # Replay ring capacity (reference hard-codes 10000, airfoil_dqn.py:412).
+    # With 32 parallel envs and ~6-step episodes a 10k ring turns over in
+    # ~3 minutes of wall clock — once the greedy policy goes deterministic
+    # the ring floods with a single trajectory and CQL then crushes every
+    # absent action (the round-3 ys930 death spiral).  A larger ring keeps
+    # older, diverse experience alive on the policy-change timescale.
+    replay_capacity: int = 10_000
 
 
 @dataclass

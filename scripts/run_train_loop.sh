@@ -47,9 +47,11 @@ for i in $(seq 1 1000); do
   if [ $rc -eq 0 ]; then break; fi
   if [ $rc -eq 76 ]; then
     # Paused (trainer acked PAUSE -> PAUSED and exited losslessly).  Hold
-    # the relaunch until the pauser removes the ack.
+    # the relaunch until the pauser removes the ack — but never forever:
+    # pause_wait.sh auto-resumes on TTL expiry or a dead pauser pid (a
+    # crashed bench.py left both trainers stalled for hours in round 3).
     echo "[loop] paused; waiting for PAUSED release" >> "$LOG"
-    while [ -f "$RUN_DIR/PAUSED" ] || [ -f "$RUN_DIR/PAUSE" ]; do sleep 5; done
+    bash "$(dirname "$0")/pause_wait.sh" "$RUN_DIR" "$LOG"
     echo "[loop] resuming after pause at $(date)" >> "$LOG"
     continue
   fi

@@ -65,6 +65,16 @@ def save(run: str) -> None:
         os.path.join(src, "ckpt", step), os.path.join(dst, "ckpt", step)
     )
     copied = [f"ckpt/{step}"]
+    # Best-policy snapshot (train/trainer.py ckpt_best): pack it alongside
+    # the latest checkpoint so a late-training collapse cannot destroy the
+    # deliverable policy across VM recycles.
+    best_step = _latest_ckpt_step(os.path.join(src, "ckpt_best"))
+    if best_step is not None:
+        shutil.copytree(
+            os.path.join(src, "ckpt_best", best_step),
+            os.path.join(dst, "ckpt_best", best_step),
+        )
+        copied.append(f"ckpt_best/{best_step}")
     for pattern in ("*.npy", "config.yaml", "ground_truth.npz",
                     "ground_truth_meta.json"):
         for path in glob.glob(os.path.join(src, pattern)):
@@ -77,6 +87,16 @@ def save(run: str) -> None:
             copied.append(base)
     with open(os.path.join(src, "ckpt", step, "extras.json")) as f:
         extras = json.load(f)
+    if best_step is not None:
+        try:
+            with open(
+                os.path.join(src, "ckpt_best", best_step, "extras.json")
+            ) as f:
+                b = json.load(f)
+            extras["best_episode"] = b.get("episode")
+            extras["best_ma1000"] = b.get("best_ma1000")
+        except OSError:
+            pass
     # Reward-trend summary so a diverging run is visible in `git log -p`
     # without unpickling npy files (round-2's late-training collapse sat
     # unnoticed inside committed packs).
@@ -139,9 +159,18 @@ def restore(run: str) -> None:
         return
     os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
     shutil.copytree(os.path.join(src, "ckpt", step), dst_step)
+    best_step = _latest_ckpt_step(os.path.join(src, "ckpt_best"))
+    if best_step is not None and not os.path.exists(
+        os.path.join(dst, "ckpt_best", best_step)
+    ):
+        os.makedirs(os.path.join(dst, "ckpt_best"), exist_ok=True)
+        shutil.copytree(
+            os.path.join(src, "ckpt_best", best_step),
+            os.path.join(dst, "ckpt_best", best_step),
+        )
     for path in glob.glob(os.path.join(src, "*")):
         base = os.path.basename(path)
-        if base in ("PACK.json", "ckpt"):
+        if base in ("PACK.json", "ckpt", "ckpt_best"):
             continue
         if not os.path.exists(os.path.join(dst, base)):
             shutil.copy2(path, os.path.join(dst, base))

@@ -124,3 +124,83 @@ class TestPause:
         d = _mk_run(str(tmp_path), "live_run", live=True)
         assert bench.pause_trainers(run_root=str(tmp_path), timeout_s=1.0) == []
         assert not os.path.exists(os.path.join(d, "PAUSE"))
+
+    def test_pause_file_records_pauser_pid(self, tmp_path, monkeypatch):
+        # bench.py writes its own pid into PAUSE so run_train_loop.sh can
+        # detect a dead pauser; the trainer's os.replace preserves content.
+        monkeypatch.delenv("BENCH_NO_QUIESCE", raising=False)
+        d = _mk_run(str(tmp_path), "live_run", live=True)
+        t = threading.Thread(target=_fake_trainer, args=(d,), daemon=True)
+        t.start()
+        acks = bench.pause_trainers(run_root=str(tmp_path), timeout_s=30.0)
+        t.join(timeout=5)
+        assert acks and int(open(acks[0]).read().strip()) == os.getpid()
+        bench.resume_trainers(acks)
+
+
+_PAUSE_WAIT = os.path.join(
+    os.path.dirname(_BENCH), "scripts", "pause_wait.sh"
+)
+
+
+def _run_pause_wait(run_dir, env=None, timeout=30):
+    import subprocess
+
+    e = dict(os.environ, PAUSE_POLL_S="0.2")
+    if env:
+        e.update(env)
+    return subprocess.run(
+        ["bash", _PAUSE_WAIT, run_dir],
+        env=e, timeout=timeout, capture_output=True,
+    )
+
+
+class TestPausedTTL:
+    """run_train_loop.sh's pause hold (scripts/pause_wait.sh) must never
+    stall a run forever: VERDICT r3 found both trainers sat on a dead
+    pauser's PAUSED ack for hours."""
+
+    def test_dead_pauser_auto_resumes(self, tmp_path):
+        d = str(tmp_path)
+        ack = os.path.join(d, "PAUSED")
+        with open(ack, "w") as f:
+            f.write("999999999")  # beyond pid_max: guaranteed dead
+        old = time.time() - 120  # older than the dead grace
+        os.utime(ack, (old, old))
+        t0 = time.time()
+        _run_pause_wait(d)
+        assert not os.path.exists(ack)
+        assert time.time() - t0 < 10
+
+    def test_ttl_exceeded_auto_resumes(self, tmp_path):
+        # No pid in the ack (legacy empty PAUSED): TTL is the only escape.
+        d = str(tmp_path)
+        ack = os.path.join(d, "PAUSED")
+        with open(ack, "w"):
+            pass
+        old = time.time() - 3600
+        os.utime(ack, (old, old))
+        t0 = time.time()
+        _run_pause_wait(d)
+        assert not os.path.exists(ack)
+        assert time.time() - t0 < 10
+
+    def test_live_pauser_holds_until_release(self, tmp_path):
+        # Fresh ack owned by a live pid (us): the wait must HOLD, and exit
+        # promptly once the pauser removes the ack.
+        d = str(tmp_path)
+        ack = os.path.join(d, "PAUSED")
+        with open(ack, "w") as f:
+            f.write(str(os.getpid()))
+
+        def release():
+            time.sleep(1.0)
+            os.remove(ack)
+
+        t = threading.Thread(target=release, daemon=True)
+        t0 = time.time()
+        t.start()
+        _run_pause_wait(d)
+        t.join(timeout=5)
+        elapsed = time.time() - t0
+        assert 0.9 < elapsed < 10

@@ -211,6 +211,81 @@ class TestTrainerResume:
         assert plot_reward(d, "ys930_results_")["episodes"] == 2
         analyze_actions(d, "ys930_results_")
 
+    def test_resume_truncates_metrics_ahead_of_checkpoint(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """Metric arrays written AFTER the checkpoint (autopack between a
+        write and a save) must be truncated back to the checkpoint counters
+        on resume so re-run episodes are not recorded twice (ADVICE r3)."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "trunc_"
+        cfg.agent.num_parallel = 1
+        cfg.agent.timesteps = 2
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.train(num_episodes=2)
+        ep, gs = tr.state.episode, tr.state.global_step
+        # Simulate runaway arrays: append phantom entries and rewrite.
+        tr.metrics.rewards += [99.0, 98.0]
+        tr.metrics.ep_rewards += [[99.0], [98.0]]
+        tr.metrics.actions += [[0], [1]]
+        tr.metrics.epss += [0.5] * 5
+        tr.metrics.losses += [123.0] * 7
+        tr.metrics.write()
+
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        assert tr2.state.episode == ep
+        assert len(tr2.metrics.rewards) == ep
+        assert len(tr2.metrics.ep_rewards) == ep
+        assert len(tr2.metrics.actions) == ep
+        assert len(tr2.metrics.epss) == gs
+        assert 99.0 not in tr2.metrics.rewards
+        assert 123.0 not in tr2.metrics.losses
+
+    def test_replay_capacity_from_config(
+        self, small_config, ground_truth, tmp_path
+    ):
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "cap_"
+        cfg.agent.num_parallel = 1
+        cfg.agent.replay_capacity = 123
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        assert tr.replay.capacity == 123
+
+    def test_best_checkpoint_tracks_ma_high_water(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """ckpt_best/ must hold the policy from the best reward-MA window,
+        surviving later degradation (round 3 retained only the collapsed
+        final checkpoint of a run that peaked mid-flight)."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "best_"
+        cfg.agent.num_parallel = 1
+        cfg.agent.timesteps = 2
+        cfg.agent.checkpoint_every = 1
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.best_window = 2  # test-scale MA window
+        tr.train(num_episodes=3)
+        best_dir = os.path.join(tr.save_dir, "ckpt_best")
+        steps = [n for n in os.listdir(best_dir) if n.startswith("step_")]
+        assert steps, "a best checkpoint must exist once the window fills"
+        ext = json.load(
+            open(os.path.join(best_dir, steps[0], "extras.json"))
+        )
+        assert "best_ma1000" in ext
+        # Degrade: fake a much worse tail and checkpoint again — ckpt_best
+        # must NOT move.
+        before = sorted(os.listdir(best_dir))
+        tr.metrics.rewards += [-100.0, -100.0]
+        tr.state.episode += 1
+        tr._save_checkpoint()
+        assert sorted(os.listdir(best_dir)) == before
+        # Resume keeps the high-water mark.
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        assert tr2._best_ma == pytest.approx(tr._best_ma)
+
 
 class TestTrainerDataParallel:
     def test_dp_trainer_runs_on_8_devices(self, small_config, ground_truth, tmp_path):
