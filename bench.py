@@ -150,8 +150,25 @@ def resume_trainers(acks: list[str]) -> None:
             pass
 
 
+# v5e peak HBM bandwidth; the fused IPCS step is bandwidth-bound (one pass
+# over every dense operator per step), so achieved-BW fraction is this
+# workload's honest "MFU" (VERDICT r3 #6).
+HBM_PEAK_BPS = float(os.environ.get("BENCH_HBM_BW_GBPS", "819")) * 1e9
+
+
+def _operator_bytes(solver) -> int:
+    """HBM bytes the step function streams per iteration: every operator
+    leaf is read exactly once per fused step (state vectors are noise)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(solver.dev)
+    if getattr(solver, "dev_lo", None) is not None:
+        leaves += jax.tree_util.tree_leaves(solver.dev_lo)
+    return int(sum(getattr(a, "nbytes", 0) for a in leaves))
+
+
 def _timed_solve(mesh_path: str, precision: str, trials: int = 2):
-    """(wall_s, setup_s, drag, lift) for the 5000-step stock-mesh solve."""
+    """(wall_s, setup_s, drag, lift, op_bytes) for the 5000-step solve."""
     import jax.numpy as jnp
 
     from meshdqn_tpu.mesh import read_xdmf, smooth
@@ -185,7 +202,57 @@ def _timed_solve(mesh_path: str, precision: str, trials: int = 2):
         setup_s,
         float(out["snap_drags"][-1]),
         float(out["snap_lifts"][-1]),
+        _operator_bytes(solver),
     )
+
+
+def _large_mesh_probe(time_left_s: float) -> dict:
+    """Finest-row (res 0.05, ~3.8k verts) banded-CG step timing — the
+    large-mesh metric VERDICT r3 #3 asked the driver to record.  Short
+    warmed probe (400 steps) extrapolated to the 5000-step solve; skipped
+    when the remaining deadline cannot absorb a contended compile."""
+    if os.environ.get("BENCH_NO_LARGE") or time_left_s < 420:
+        log(f"large-mesh probe skipped (time_left={time_left_s:.0f}s)")
+        return {}
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {}
+    from meshdqn_tpu.mesh import airfoil_polyline, read_xdmf, smooth
+    from meshdqn_tpu.mesh.generate import generate_channel_mesh
+    from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
+
+    ring = airfoil_polyline(read_xdmf(MESH))
+    mesh = smooth(generate_channel_mesh(ring, 0.05), 50)
+    t0 = time.time()
+    solver = IPCSSolver(
+        mesh,
+        IPCSConfig(
+            precision="f32", fused=False, method="cg", cg_chunk=25,
+            cg_iters_u=15, cg_iters_m=12, invert_on_device=True,
+        ),
+    )
+    setup_s = time.time() - t0
+    # Warm the chunked evolve (compile), then time a 400-step run.
+    st, d, _ = solver.evolve(solver.initial_state(), 25)
+    float(d[-1])
+    t0 = time.time()
+    st, d, _ = solver.evolve(st, 400)
+    float(d[-1])
+    step_ms = (time.time() - t0) / 400 * 1000.0
+    est_5000 = step_ms * 5.0
+    log(
+        f"large mesh ({mesh.num_vertices} verts): {step_ms:.1f} ms/step, "
+        f"est 5000-step {est_5000:.0f}s (ref finest 403.15s CPU)"
+    )
+    return {
+        "large_mesh_vertices": int(mesh.num_vertices),
+        "large_mesh_step_ms": round(step_ms, 2),
+        "large_mesh_est_5000step_s": round(est_5000, 1),
+        "large_mesh_setup_s": round(setup_s, 1),
+        "vs_baseline_large_mesh": round(403.15 / est_5000, 2),
+        "large_mesh_baseline_s": 403.15,
+    }
 
 
 def _episode_throughput() -> dict:
@@ -258,21 +325,37 @@ def main():
     # iterative refinement (solver/fused.py:build_fused_refined) — operator
     # entries match the exact f64 composition to ~1e-12 rel; setup is host
     # assembly (~0.3 s) + three jitted compose modules (compile cached).
+    t_begin = time.time()
     log("ys930 5000-step solve:")
-    wall, setup_s, drag, lift = _timed_solve(MESH, precision)
+    wall, setup_s, drag, lift, op_bytes = _timed_solve(MESH, precision)
     rel = abs((drag - REF_DRAG) / REF_DRAG)
     rel_lift = abs((lift - REF_LIFT) / REF_LIFT)
     log(f"wall={wall:.2f}s drag={drag:.7f} rel_err={rel:.2e} lift_rel={rel_lift:.2e}")
+    # Achieved HBM bandwidth of the fused step (bandwidth-bound -> this is
+    # the workload's "MFU"): operators streamed once per step.
+    step_bw = op_bytes / (wall / 5000.0)
+    bw_frac = step_bw / HBM_PEAK_BPS
+    log(
+        f"fused step: {op_bytes / 1e6:.1f} MB operators/step, achieved "
+        f"{step_bw / 1e9:.0f} GB/s = {100 * bw_frac:.0f}% of HBM roofline"
+    )
 
     # Warm per-mesh setup: what every SUBSEQUENT solver build in the same
-    # process costs (training remeshes, deploy rebuilds, sweep rows).
+    # process costs (training remeshes, deploy rebuilds, sweep rows).  The
+    # cold-minus-warm difference is compile (+ first-composition) cost —
+    # reported separately so a compile regression can't hide inside setup_s
+    # (VERDICT r3 #6: r2->r3 cold setup went 5.3s -> 69.5s unexplained).
     t0 = time.time()
     IPCSSolver(smooth(read_xdmf(MESH), 50), IPCSConfig(precision=precision))
     setup_warm_s = time.time() - t0
-    log(f"setup (warm per-mesh rebuild): {setup_warm_s:.1f}s")
+    setup_compile_s = max(0.0, setup_s - setup_warm_s)
+    log(
+        f"setup: cold {setup_s:.1f}s = compile {setup_compile_s:.1f}s + "
+        f"composition/assembly {setup_warm_s:.1f}s (warm rebuild)"
+    )
 
     log("ah93w145 5000-step solve:")
-    ah_wall, ah_setup, ah_drag, ah_lift = _timed_solve(AH_MESH, precision)
+    ah_wall, ah_setup, ah_drag, ah_lift, _ = _timed_solve(AH_MESH, precision)
     ah_rel = abs((ah_drag - AH_REF_DRAG) / AH_REF_DRAG)
     ah_rel_lift = abs((ah_lift - AH_REF_LIFT) / AH_REF_LIFT)
     log(f"wall={ah_wall:.2f}s drag={ah_drag:.7f} rel_err={ah_rel:.2e}")
@@ -282,6 +365,12 @@ def main():
         episode = _episode_throughput()
     except Exception as e:  # never lose the solver metrics to the RL path
         log(f"episode throughput measurement failed: {e!r}")
+
+    large = {}
+    try:
+        large = _large_mesh_probe(DEADLINE_S - (time.time() - t_begin))
+    except Exception as e:
+        log(f"large-mesh probe failed: {e!r}")
 
     print(
         json.dumps(
@@ -299,12 +388,18 @@ def main():
                 "lift_rel_err_vs_reference": rel_lift,
                 "setup_s": round(setup_s, 1),
                 "setup_warm_s": round(setup_warm_s, 1),
+                "setup_compile_s": round(setup_compile_s, 1),
+                "fused_step_operator_mb": round(op_bytes / 1e6, 1),
+                "fused_step_achieved_gbps": round(step_bw / 1e9, 1),
+                "fused_step_hbm_roofline_frac": round(bw_frac, 3),
+                "hbm_peak_gbps": round(HBM_PEAK_BPS / 1e9, 0),
                 "ah93w145_5000step_solve_wall_s": round(ah_wall, 3),
                 "ah93w145_vs_baseline": round(AH_BASELINE_S / ah_wall, 2),
                 "ah93w145_baseline_s": AH_BASELINE_S,
                 "ah93w145_drag_rel_err": ah_rel,
                 "ah93w145_lift_rel_err": ah_rel_lift,
                 **episode,
+                **large,
             }
         )
     )

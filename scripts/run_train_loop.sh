@@ -18,26 +18,31 @@ for i in $(seq 1 1000); do
   # Liveness beacon for bench.py's pause logic (a long contended compile can
   # outlast any mtime window; the pid is the ground truth).
   echo $TPID > "$RUN_DIR/trainer.pid"
+  JL="$RUN_DIR/train_log.jsonl"
+  # Progress = EPISODE events only.  Init-time events (replay_restore,
+  # gt cache notes) must not start the strict stall clock: a contended
+  # first compile legitimately takes 15-25 min AFTER them, and counting
+  # their mtime as "first event" made the watchdog kill healthy trainers
+  # mid-compile (observed round 4: two kills at 633s/693s during a
+  # 3-process compile pile-up).
+  EPC0=$(grep -c '"event": "episode"' "$JL" 2>/dev/null || echo 0)
+  EPC_LAST=$EPC0
+  LAST_PROGRESS=$START
   while kill -0 $TPID 2>/dev/null; do
     sleep 60
     NOW=$(date +%s)
-    JL="$RUN_DIR/train_log.jsonl"
-    if [ -f "$JL" ]; then
-      MT=$(stat -c %Y "$JL")
-      # Only a stall if THIS invocation already produced events (mtime
-      # after start AND file non-empty — the trainer creates the JSONL
-      # empty at init, which must not count as a first event) and then
-      # went quiet, or the run never produced any event for 3x the stall
-      # window (covers hangs before first episode; fresh-prefix GT
-      # compute + contended compiles legitimately take ~15-25 min).
-      if [ ! -s "$JL" ]; then MT=$START; fi
-      if [ "$MT" -gt "$START" ] && [ $((NOW - MT)) -gt "$STALL_S" ]; then
-        echo "[loop] stall: no events for $((NOW - MT))s; killing $TPID" >> "$LOG"
-        kill $TPID
-      elif [ "$MT" -le "$START" ] && [ $((NOW - START)) -gt $((3 * STALL_S)) ]; then
-        echo "[loop] stall: no first event after $((NOW - START))s; killing $TPID" >> "$LOG"
-        kill $TPID
-      fi
+    EPC=$(grep -c '"event": "episode"' "$JL" 2>/dev/null || echo 0)
+    if [ "$EPC" -gt "$EPC_LAST" ]; then
+      EPC_LAST=$EPC
+      LAST_PROGRESS=$NOW
+    elif [ "$EPC" -gt "$EPC0" ] && [ $((NOW - LAST_PROGRESS)) -gt "$STALL_S" ]; then
+      # Episodes were flowing in THIS invocation and stopped: hung device
+      # call — kill and let the outer loop resume from the checkpoint.
+      echo "[loop] stall: no episode for $((NOW - LAST_PROGRESS))s; killing $TPID" >> "$LOG"
+      kill $TPID
+    elif [ "$EPC" -le "$EPC0" ] && [ $((NOW - START)) -gt $((4 * STALL_S)) ]; then
+      echo "[loop] stall: no first episode after $((NOW - START))s; killing $TPID" >> "$LOG"
+      kill $TPID
     fi
   done
   wait $TPID

@@ -59,6 +59,67 @@ class TestPCG:
         assert np.allclose(np.asarray(X)[:, 0], x, rtol=1e-12)
 
 
+class TestBlockJacobi:
+    def _banded_spd(self, n=96, w=6, seed=0):
+        rng = np.random.default_rng(seed)
+        # banded SPD with meaningful off-diagonal coupling (so pointwise
+        # Jacobi is a visibly weaker preconditioner than block inverses)
+        B = sp.random(n, n, density=0.0, format="lil")
+        for k in range(1, w + 1):
+            off = 0.4 * rng.random(n - k) / k
+            B += sp.diags([off, off], [-k, k])
+        A = (B + B.T) * 0.5 + sp.diags(3.0 + rng.random(n))
+        return A.tocsr()
+
+    def test_apply_matches_blockdiag_inverse(self):
+        from meshdqn_tpu.ops.cg import block_jacobi_inv
+
+        A = self._banded_spd(100)  # non-multiple of nb: exercises padding
+        bj = block_jacobi_inv(A, nb=32, dtype=jnp.float64)
+        R = np.random.default_rng(2).standard_normal((100, 3))
+        got = np.asarray(bj.apply(jnp.asarray(R)))
+        # explicit block-diagonal inverse
+        M = np.zeros((100, 100))
+        for lo in range(0, 100, 32):
+            hi = min(lo + 32, 100)
+            M[lo:hi, lo:hi] = np.linalg.inv(A[lo:hi, lo:hi].todense())
+        assert np.allclose(got, M @ R, rtol=1e-12, atol=1e-12)
+
+    def test_block_pcg_solves_and_beats_jacobi(self):
+        from meshdqn_tpu.ops.cg import block_jacobi_inv
+
+        A = self._banded_spd(96)
+        Aell = EllMatrix.from_scipy(A, dtype=jnp.float64)
+        b = np.random.default_rng(3).standard_normal((96, 1))
+        ref = np.linalg.solve(A.toarray(), b)
+        bj = block_jacobi_inv(A, nb=32, dtype=jnp.float64)
+        # correctness at convergence
+        Xb = pcg(Aell, bj, jnp.asarray(b), jnp.zeros((96, 1)), iters=60)
+        assert np.allclose(np.asarray(Xb), ref, rtol=1e-9, atol=1e-11)
+        # strictly better residual than pointwise Jacobi at a small
+        # fixed iteration count (the production regime: fixed-iter PCG)
+        it = 4
+        Xj = pcg(Aell, jacobi_inv(Aell), jnp.asarray(b),
+                 jnp.zeros((96, 1)), iters=it)
+        Xb4 = pcg(Aell, bj, jnp.asarray(b), jnp.zeros((96, 1)), iters=it)
+        rj = np.linalg.norm(A @ np.asarray(Xj) - b)
+        rb = np.linalg.norm(A @ np.asarray(Xb4) - b)
+        assert rb < rj
+
+    def test_solver_block_precond_matches_jacobi_drag(self, ys930_mesh):
+        """cg_precond='block' changes only the preconditioner — at
+        convergence-level iteration counts the drag must match the
+        Jacobi-PCG path to f64 tightness."""
+        a = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64", method="cg"))
+        st, da, _ = a.evolve(a.initial_state(), 100)
+        b = IPCSSolver(
+            ys930_mesh,
+            IPCSConfig(precision="f64", method="cg", cg_precond="block"),
+        )
+        st2, db, _ = b.evolve(b.initial_state(), 100)
+        assert np.isclose(float(db[-1]), float(da[-1]), rtol=1e-9)
+
+
 class TestCGStepper:
     def test_cg_f64_matches_dense_f64(self, ys930_mesh):
         """300 steps on the stock mesh: the CG path must track the dense
