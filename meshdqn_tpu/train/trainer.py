@@ -158,6 +158,17 @@ class Trainer:
         )
         self._best_ma: float = float("-inf")
         self.best_window = 1000  # episodes in the best-policy moving average
+        # Deploy-aware model selection (see AgentConfig.probe_every): the
+        # greedy removals-within-threshold count is the deliverable metric
+        # (deploy_dqn.py:496-517 verifies removals, not training reward),
+        # and it is anti-correlated with reward once the policy discovers
+        # the do-nothing farm.  ckpt_best_deploy/ tracks its high water.
+        self.probe_every = int(getattr(agent, "probe_every", 0))
+        self.ckpt_best_deploy = CheckpointManager(
+            os.path.join(self.save_dir, "ckpt_best_deploy"), max_to_keep=1
+        )
+        self._best_deploy: tuple[int, float] = (-1, float("-inf"))
+        self._probe_env = None
         self.state = TrainerState()
         self.plot_every = max(25, agent.write_every)
         self.write_every = agent.write_every
@@ -195,6 +206,10 @@ class Trainer:
                     losses=extras.get("n_losses"),
                 )
                 self._best_ma = float(extras.get("best_ma", float("-inf")))
+                self._best_deploy = (
+                    int(extras.get("best_deploy_removals", -1)),
+                    float(extras.get("best_deploy_reward", float("-inf"))),
+                )
                 if os.path.exists(self._replay_path):
                     ok = self.replay.load(self._replay_path)
                     self.jsonlog.log(
@@ -481,6 +496,12 @@ class Trainer:
                     if self.state.episode % self.checkpoint_every == 0:
                         self._flush_optimize()
                         self._save_checkpoint()
+                    if (
+                        self.probe_every
+                        and self.state.episode % self.probe_every == 0
+                    ):
+                        self._flush_optimize()
+                        self._deploy_probe()
                     if self.state.episode >= num_episodes:
                         break
                 if max_steps is not None and self.state.global_step >= max_steps:
@@ -574,6 +595,8 @@ class Trainer:
             # arrays back into exact alignment with the counters.
             "n_losses": len(self.metrics.losses) + len(self.metrics._pending),
             "best_ma": self._best_ma,
+            "best_deploy_removals": self._best_deploy[0],
+            "best_deploy_reward": self._best_deploy[1],
         }
         self.ckpt.save(self.state.episode, self.dqn, extras)
         # Best-policy snapshot on a new 1000-episode moving-average high.
@@ -584,6 +607,65 @@ class Trainer:
             self.jsonlog.log(
                 "best_checkpoint", episode=self.state.episode,
                 ma1000=round(ma, 4),
+            )
+
+    def _deploy_probe(self, max_steps: int = 100):
+        """Roll ONE eps=0 episode (greedy argmax, deploy_dqn.py:201-202
+        semantics) on a dedicated probe env and snapshot the nets to
+        ckpt_best_deploy/ when removals-within-threshold makes a new high.
+
+        The probe env is deterministic (reset() always starts from the
+        stock mesh), so this measures exactly what a greedy deployment
+        would execute.  Do-nothing farming caps out at `max_steps` with a
+        low removal count and never displaces a remover policy."""
+        from ..rl import select_action
+
+        if self._probe_env is None:
+            self._probe_env = AirfoilEnv(
+                self.config, ground_truth=self.gt,
+                transfer=self._shared_transfer,
+            )
+        env = self._probe_env
+        thr = 100.0 * self.config.agent.threshold
+        gtd = float(np.asarray(self.gt.gt_drag)[-1])
+        state = env.reset()
+        env.calculate_reward()
+        removals_ok, removals, total = 0, 0, 0.0
+        reason = "max_steps"
+        for _ in range(max_steps):
+            a = int(select_action(self.dqn.params1, state, topk=self.dqn_cfg.topk))
+            state, rew, done, info = env.step(a)
+            total += rew
+            if a < env.action_space_n:
+                removals += 1
+                err = 100.0 * abs(float(env.new_drags[-1]) - gtd) / abs(gtd)
+                if err <= thr:
+                    removals_ok += 1
+            if done:
+                reason = info.terminal_reason or "done"
+                break
+        score = (removals_ok, total)
+        new_best = score > self._best_deploy
+        self.jsonlog.log(
+            "deploy_probe", episode=self.state.episode,
+            removals=removals, removals_ok=removals_ok,
+            reward=round(total, 3), terminal=reason, best=new_best,
+        )
+        if new_best:
+            self._best_deploy = score
+            self.ckpt_best_deploy.save(
+                self.state.episode, self.dqn,
+                {
+                    "global_step": self.state.global_step,
+                    "episode": self.state.episode,
+                    "n_losses": len(self.metrics.losses)
+                    + len(self.metrics._pending),
+                    "best_ma": self._best_ma,
+                    "best_deploy_removals": removals_ok,
+                    "best_deploy_reward": total,
+                    "probe_removals_total": removals,
+                    "probe_terminal": reason,
+                },
             )
 
     def summary(self, t_start: float) -> dict:

@@ -88,6 +88,18 @@ class AgentConfig:
     # absent action (the round-3 ys930 death spiral).  A larger ring keeps
     # older, diverse experience alive on the policy-change timescale.
     replay_capacity: int = 10_000
+    # Deploy-probe cadence in episodes (0 = off).  Training reward and
+    # deployability are NOT the same objective under the reference's reward
+    # (Env2DAirfoil.py:380-428): a policy that parks on do-nothing actions
+    # at near-zero drag error farms +~1/step and posts the highest episode
+    # rewards while greedily removing almost nothing — measured round 4 on
+    # ys930, the MA1000 +13.2 high-water policy made 4 greedy removals while
+    # a MA ~+5 checkpoint made 28.  Every probe_every episodes the trainer
+    # rolls ONE eps=0 episode (deploy_dqn.py:201-202 semantics) and
+    # snapshots the nets to ckpt_best_deploy/ whenever the count of
+    # removals-within-threshold makes a new high — model selection by the
+    # deliverable metric, not the training proxy.
+    probe_every: int = 0
 
 
 @dataclass

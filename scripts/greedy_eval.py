@@ -26,6 +26,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--best", action="store_true")
+    ap.add_argument(
+        "--deploy", action="store_true",
+        help="evaluate ckpt_best_deploy/ (the deploy-probe high water)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-steps", type=int, default=400)
     ap.add_argument("overrides", nargs="*")
@@ -72,7 +76,13 @@ def main(argv=None):
             cql_alpha=cfg.optimizer.cql_alpha,
         ),
     )
-    sub = "ckpt_best" if args.best else "ckpt"
+    sub = (
+        "ckpt_best_deploy"
+        if args.deploy
+        else "ckpt_best"
+        if args.best
+        else "ckpt"
+    )
     ckpt = CheckpointManager(os.path.join(base, sub))
     restored = ckpt.restore(dqn)
     if restored is None:

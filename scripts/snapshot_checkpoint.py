@@ -75,6 +75,17 @@ def save(run: str) -> None:
             os.path.join(dst, "ckpt_best", best_step),
         )
         copied.append(f"ckpt_best/{best_step}")
+    # Deploy-probe high-water snapshot (train/trainer.py _deploy_probe):
+    # the policy a greedy deployment should load — selected by verified
+    # removal count, not training reward (the two diverge once the policy
+    # discovers do-nothing farming).
+    deploy_step = _latest_ckpt_step(os.path.join(src, "ckpt_best_deploy"))
+    if deploy_step is not None:
+        shutil.copytree(
+            os.path.join(src, "ckpt_best_deploy", deploy_step),
+            os.path.join(dst, "ckpt_best_deploy", deploy_step),
+        )
+        copied.append(f"ckpt_best_deploy/{deploy_step}")
     for pattern in ("*.npy", "config.yaml", "ground_truth.npz",
                     "ground_truth_meta.json"):
         for path in glob.glob(os.path.join(src, pattern)):
@@ -96,6 +107,19 @@ def save(run: str) -> None:
             extras["best_episode"] = b.get("episode")
             extras["best_ma1000"] = b.get("best_ma1000")
         except OSError:
+            pass
+    if deploy_step is not None:
+        try:
+            with open(
+                os.path.join(src, "ckpt_best_deploy", deploy_step, "extras.json")
+            ) as f:
+                b = json.load(f)
+            extras["best_deploy_episode"] = b.get("episode")
+            extras["best_deploy_removals"] = b.get("best_deploy_removals")
+            extras["best_deploy_reward"] = round(
+                float(b.get("best_deploy_reward", float("nan"))), 3
+            )
+        except (OSError, TypeError, ValueError):
             pass
     # Reward-trend summary so a diverging run is visible in `git log -p`
     # without unpickling npy files (round-2's late-training collapse sat
@@ -159,18 +183,19 @@ def restore(run: str) -> None:
         return
     os.makedirs(os.path.join(dst, "ckpt"), exist_ok=True)
     shutil.copytree(os.path.join(src, "ckpt", step), dst_step)
-    best_step = _latest_ckpt_step(os.path.join(src, "ckpt_best"))
-    if best_step is not None and not os.path.exists(
-        os.path.join(dst, "ckpt_best", best_step)
-    ):
-        os.makedirs(os.path.join(dst, "ckpt_best"), exist_ok=True)
-        shutil.copytree(
-            os.path.join(src, "ckpt_best", best_step),
-            os.path.join(dst, "ckpt_best", best_step),
-        )
+    for sub in ("ckpt_best", "ckpt_best_deploy"):
+        sub_step = _latest_ckpt_step(os.path.join(src, sub))
+        if sub_step is not None and not os.path.exists(
+            os.path.join(dst, sub, sub_step)
+        ):
+            os.makedirs(os.path.join(dst, sub), exist_ok=True)
+            shutil.copytree(
+                os.path.join(src, sub, sub_step),
+                os.path.join(dst, sub, sub_step),
+            )
     for path in glob.glob(os.path.join(src, "*")):
         base = os.path.basename(path)
-        if base in ("PACK.json", "ckpt", "ckpt_best"):
+        if base in ("PACK.json", "ckpt", "ckpt_best", "ckpt_best_deploy"):
             continue
         if not os.path.exists(os.path.join(dst, base)):
             shutil.copy2(path, os.path.join(dst, base))

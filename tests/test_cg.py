@@ -106,6 +106,7 @@ class TestBlockJacobi:
         rb = np.linalg.norm(A @ np.asarray(Xb4) - b)
         assert rb < rj
 
+    @pytest.mark.slow
     def test_solver_block_precond_matches_jacobi_drag(self, ys930_mesh):
         """cg_precond='block' changes only the preconditioner — at
         convergence-level iteration counts the drag must match the
@@ -121,6 +122,17 @@ class TestBlockJacobi:
 
 
 class TestCGStepper:
+    def test_cg_f64_matches_dense_f64_short(self, ys930_mesh):
+        """Fast-suite CG gate: 30 steps vs the dense invert-once oracle.
+        The 300-step version below is the slow-suite gate."""
+        dense = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64"))
+        st, d1, l1 = dense.evolve(dense.initial_state(), 30)
+        cg = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64", method="cg"))
+        st2, d2, l2 = cg.evolve(cg.initial_state(), 30)
+        assert np.isclose(float(d2[-1]), float(d1[-1]), rtol=1e-8)
+        assert np.isclose(float(l2[-1]), float(l1[-1]), rtol=1e-7)
+
+    @pytest.mark.slow
     def test_cg_f64_matches_dense_f64(self, ys930_mesh):
         """300 steps on the stock mesh: the CG path must track the dense
         invert-once oracle to near-roundoff (same discretization, same
@@ -132,6 +144,7 @@ class TestCGStepper:
         assert np.isclose(float(d2[-1]), float(d1[-1]), rtol=1e-8)
         assert np.isclose(float(l2[-1]), float(l1[-1]), rtol=1e-7)
 
+    @pytest.mark.slow
     def test_cg_warm_start_carries_across_evolve_calls(self, ys930_mesh):
         cg = IPCSSolver(ys930_mesh, IPCSConfig(precision="f64", method="cg"))
         st = cg.initial_state()
@@ -141,6 +154,7 @@ class TestCGStepper:
         st1, d100, _ = cg2.evolve(cg2.initial_state(), 100)
         assert np.isclose(float(db[-1]), float(d100[-1]), rtol=1e-9)
 
+    @pytest.mark.slow
     def test_cg_chunked_evolve_bit_matches_unchunked(self, ys930_mesh):
         """cg_chunk bounds the per-call scan length (the remote TPU worker
         crashes on >=100-step CG scans at finest-row sizes) — splitting

@@ -172,6 +172,7 @@ class TestDeployCompleteTraj:
 
 
 class TestSurrogate:
+    @pytest.mark.slow
     def test_train_save_load_deploy_surrogate(
         self, small_config, ground_truth, tmp_path
     ):

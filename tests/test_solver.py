@@ -174,6 +174,7 @@ class TestDf32:
     Measured on v5e (5000-step CSV gates): lift rel err improves ~3-4x over
     pure f32 at ~1.3x the step cost; see solver/fused.py fused_step_df32."""
 
+    @pytest.mark.slow
     def test_split_limbs_reconstruct_f64_operators(self, ys930_mesh):
         sd = IPCSSolver(ys930_mesh, IPCSConfig(precision="df32"))
         s32 = IPCSSolver(ys930_mesh, IPCSConfig(precision="f32"))
@@ -194,6 +195,7 @@ class TestDf32:
         lo_resid = np.abs(np.asarray(sd.dev_lo.F1u, np.float64)) / scale
         assert np.nanmax(lo_resid) < 1.2 * 2.0**-24
 
+    @pytest.mark.slow
     def test_df32_tracks_f64_tighter_than_f32(self, ys930_mesh, solver64):
         sd = IPCSSolver(ys930_mesh, IPCSConfig(precision="df32"))
         st64, d64, l64 = solver64.evolve(solver64.initial_state(), 200)
@@ -205,6 +207,7 @@ class TestDf32:
 
 
 class TestPadQuantum:
+    @pytest.mark.slow
     def test_padded_solver_matches_unpadded(self, ys930_mesh):
         """Shape-quantized padding (zero embed + unit pad diagonal) is
         mathematically exact: pad state entries stay zero and drag/lift

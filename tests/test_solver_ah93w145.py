@@ -51,6 +51,7 @@ class TestAh93w145FastGates:
         rel = abs(float(d[499]) - ah_traj64[0][499]) / abs(ah_traj64[0][499])
         assert rel < 2e-3
 
+    @pytest.mark.slow
     def test_cg_banded_tracks_f64(self, ah_mesh, ah_traj64):
         """The large-mesh CG path (banded layout) against the dense f64
         oracle — measured 1.1e-12 rel at 500 steps; gate at 1e-9."""

@@ -121,6 +121,7 @@ class TestTrainerResume:
         ):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_pause_file_lossless_pause(
         self, small_config, ground_truth, tmp_path, monkeypatch
     ):
@@ -285,6 +286,53 @@ class TestTrainerResume:
         # Resume keeps the high-water mark.
         tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
         assert tr2._best_ma == pytest.approx(tr._best_ma)
+
+
+    def test_deploy_probe_tracks_removal_high_water(
+        self, small_config, ground_truth, tmp_path
+    ):
+        """probe_every rolls a greedy eps=0 episode and snapshots
+        ckpt_best_deploy/ on a removals-within-threshold high — model
+        selection by the deploy deliverable, not training reward (round 4:
+        the reward high-water ys930 policy was a do-nothing farm making 4
+        greedy removals while a mid-reward checkpoint made 28)."""
+        cfg = copy.deepcopy(small_config)
+        cfg.save_dir = str(tmp_path)
+        cfg.prefix = "probe_"
+        cfg.agent.num_parallel = 1
+        cfg.agent.timesteps = 2
+        cfg.agent.probe_every = 1
+        tr = Trainer(cfg, ground_truth=ground_truth, resume=False)
+        tr.train(num_episodes=2)
+        deploy_dir = os.path.join(tr.save_dir, "ckpt_best_deploy")
+        steps = [
+            n
+            for n in (os.listdir(deploy_dir) if os.path.isdir(deploy_dir) else [])
+            if n.startswith("step_")
+        ]
+        assert steps, "a deploy-probe checkpoint must exist"
+        ext = json.load(
+            open(os.path.join(deploy_dir, steps[0], "extras.json"))
+        )
+        assert "best_deploy_removals" in ext
+        assert ext["best_deploy_removals"] == tr._best_deploy[0]
+        # Probe events are logged for curve visibility.
+        events = [
+            json.loads(l)
+            for l in open(os.path.join(tr.save_dir, "train_log.jsonl"))
+        ]
+        probes = [e for e in events if e.get("event") == "deploy_probe"]
+        assert probes and "removals_ok" in probes[0]
+        # A worse probe must NOT displace the snapshot; resume restores
+        # the high-water tuple.
+        before = sorted(os.listdir(deploy_dir))
+        tr._best_deploy = (10**6, 0.0)  # pretend an unbeatable high water
+        tr._deploy_probe(max_steps=1)
+        assert sorted(os.listdir(deploy_dir)) == before
+        tr.state.episode += 1
+        tr._save_checkpoint()
+        tr2 = Trainer(cfg, ground_truth=ground_truth, resume=True)
+        assert tr2._best_deploy[0] == 10**6
 
 
 class TestTrainerDataParallel:
