@@ -323,13 +323,27 @@ def _banded_aligned_kernel(x_ref, blocks_ref, o_ref, *, g, W, sb):
     i = pl.program_id(0)
     R = blocks_ref.shape[1]
     Wr = W // 128
+    m = x_ref.shape[2]
     for j in range(sb):
-        bb = i * sb + j
-        xw = x_ref[pl.ds((bb * g) // 128, Wr)]  # (Wr, 128, m)
-        blk = blocks_ref[j].reshape(R, Wr, 128)
-        o_ref[j] = jnp.sum(
-            blk[..., None] * xw[None], axis=(1, 2)
-        )  # (R, m)
+        # Index math must stay i32 end-to-end: under x64 the Python-int
+        # literals promote the floor-divide to i64 and Mosaic's i64->i32
+        # conversion helper recurses at lowering (observed on v5e).
+        bbg = i * jnp.int32(sb * g) + jnp.int32(j * g)
+        xw = x_ref[pl.ds(bbg // jnp.int32(128), Wr)]  # (Wr, 128, m)
+        blk = blocks_ref[j]  # (R, W)
+        # Accumulate per 128-lane tile with STATIC slices: Mosaic rejects
+        # the (R, W) -> (R, Wr, 128) shape cast (lane-dim split), so the
+        # window walk is an unrolled loop of lane-aligned (R, 128) tiles;
+        # each tile is a VPU multiply + lane reduction at full width.
+        cols = []
+        for c in range(m):
+            acc = None
+            for w in range(Wr):
+                bw = blk[:, w * 128 : (w + 1) * 128]  # (R, 128) static
+                t = jnp.sum(bw * xw[w, :, c][None, :], axis=1, keepdims=True)
+                acc = t if acc is None else acc + t
+            cols.append(acc)  # (R, 1)
+        o_ref[j] = cols[0] if m == 1 else jnp.concatenate(cols, axis=1)
 
 
 @functools.partial(

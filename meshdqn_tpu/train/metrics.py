@@ -66,13 +66,22 @@ class MetricsRecorder:
     def _p(self, name: str) -> str:
         return os.path.join(self.save_dir, self.prefix + name)
 
+    def _atomic_save(self, name: str, values: list):
+        """np.save via tmp + rename: a kill mid-write (stall watchdog,
+        SIGTERM) must never truncate the committed artifact — a corrupt
+        rewards.npy crash-looped resume for an hour in round 4."""
+        path = self._p(name)
+        tmp = path + ".tmp.npy"
+        np.save(tmp, np.array(values, dtype=object), allow_pickle=True)
+        os.replace(tmp, path)
+
     def write(self):
         self._flush_losses()
-        np.save(self._p("reward.npy"), np.array(self.rewards, dtype=object), allow_pickle=True)
-        np.save(self._p("rewards.npy"), np.array(self.ep_rewards, dtype=object), allow_pickle=True)
-        np.save(self._p("losses.npy"), np.array(self.losses, dtype=object), allow_pickle=True)
-        np.save(self._p("actions.npy"), np.array(self.actions, dtype=object), allow_pickle=True)
-        np.save(self._p("eps.npy"), np.array(self.epss, dtype=object), allow_pickle=True)
+        self._atomic_save("reward.npy", self.rewards)
+        self._atomic_save("rewards.npy", self.ep_rewards)
+        self._atomic_save("losses.npy", self.losses)
+        self._atomic_save("actions.npy", self.actions)
+        self._atomic_save("eps.npy", self.epss)
 
     def load(self):
         """Resume accumulation from previously written artifacts."""

@@ -94,6 +94,15 @@ def save(run: str) -> None:
                 base.endswith(f"_{s}.npy") for s in METRIC_SUFFIXES
             ):
                 continue
+            if pattern == "*.npy":
+                # Never pack (and git-commit) a truncated artifact: a kill
+                # mid-metrics-write once shipped a corrupt rewards.npy into
+                # the pack, poisoning every later restore.
+                try:
+                    np.load(path, allow_pickle=True)
+                except Exception as e:
+                    print(f"SKIP corrupt {base}: {type(e).__name__}")
+                    continue
             shutil.copy2(path, os.path.join(dst, base))
             copied.append(base)
     with open(os.path.join(src, "ckpt", step, "extras.json")) as f:
