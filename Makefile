@@ -2,10 +2,13 @@
 
 .PHONY: test test-slow bench train deploy sweep analyze native clean
 
-test:            ## fast suite (~8 min on a 1-core host; 8 virtual CPU devices)
+# Round-4 measurement (this 1-core host): fast suite 204 tests, 9m01s CPU /
+# 24m21s wall while SHARING the core with a live 32-env trainer; ~10 min
+# wall on a quiet host.  The 10 heaviest solver/train gates moved to -m slow.
+test:            ## fast suite (~10 min quiet 1-core host; 8 virtual CPU devices)
 	python -m pytest tests/ -q
 
-test-slow:       ## full 5000-step reference gates + CLI smokes (~40 min)
+test-slow:       ## full 5000-step reference gates + heavy solver/train gates (~60 min)
 	python -m pytest tests/ -q -m slow --override-ini addopts=
 
 bench:           ## headline benchmark on the attached accelerator (one JSON line)

@@ -229,7 +229,12 @@ def _large_mesh_probe(time_left_s: float) -> dict:
         mesh,
         IPCSConfig(
             precision="f32", fused=False, method="cg", cg_chunk=25,
-            cg_iters_u=15, cg_iters_m=12, invert_on_device=True,
+            # Round-4 production setting: block-Jacobi PCG (nb=128 dense
+            # RCM-diagonal block inverses) at (6,5) iterations — measured
+            # drag-equal to Jacobi (15,12) to 1.1e-5 rel at 500 steps and
+            # 1.80x faster per step (scripts/block_precond_study.py).
+            cg_iters_u=6, cg_iters_m=5, invert_on_device=True,
+            cg_precond="block", cg_block_size=128,
         ),
     )
     setup_s = time.time() - t0

@@ -108,11 +108,19 @@ def main(argv=None):
             # unfused dense; CPU large rows: unchunked f64-CG.
             use_cg = big and (backend != "tpu" or nv > DENSE_TPU_VERTEX_LIMIT)
             cg_kw = {}
-            if args.cg_iters is not None:
+            if use_cg and backend == "tpu":
+                # Round-4 production setting for TPU CG rows: block-Jacobi
+                # PCG at (6,5) — drag-equal to Jacobi (15,12) to 1.1e-5 at
+                # 1.80x the speed (scripts/block_precond_study.py).
                 cg_kw = {
-                    "cg_iters_u": args.cg_iters[0],
-                    "cg_iters_m": args.cg_iters[1],
+                    "cg_iters_u": 6,
+                    "cg_iters_m": 5,
+                    "cg_precond": "block",
+                    "cg_block_size": 128,
                 }
+            if args.cg_iters is not None:
+                cg_kw["cg_iters_u"] = args.cg_iters[0]
+                cg_kw["cg_iters_m"] = args.cg_iters[1]
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
