@@ -68,7 +68,7 @@ def _pid_alive(path: str) -> bool:
         return False
 
 
-def pause_trainers(run_root: str | None = None, timeout_s: float = 240.0) -> list[str]:
+def pause_trainers(run_root: str | None = None, timeout_s: float = 600.0) -> list[str]:
     """Losslessly pause live training runs before timing; returns the PAUSED
     ack paths to remove in resume_trainers().
 

@@ -37,6 +37,14 @@ def main(argv=None):
         "(SURROGATE_MODEL, deploy_dqn.py:19)",
     )
     ap.add_argument("--surrogate-path", default=None)
+    ap.add_argument(
+        "--ckpt-dir",
+        default="ckpt",
+        help="checkpoint subtree to deploy, relative to the run dir (or an "
+        "absolute path): 'ckpt' (latest), 'ckpt_best' (highest reward "
+        "MA1000) or 'ckpt_best_deploy' (best greedy-removal probe, "
+        "train/trainer.py _deploy_probe)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--precision",
@@ -97,7 +105,12 @@ def main(argv=None):
             cql_alpha=cfg.optimizer.cql_alpha,
         ),
     )
-    ckpt = CheckpointManager(os.path.join(base, "ckpt"))
+    ckpt_dir = (
+        args.ckpt_dir
+        if os.path.isabs(args.ckpt_dir)
+        else os.path.join(base, args.ckpt_dir)
+    )
+    ckpt = CheckpointManager(ckpt_dir)
     restored = ckpt.restore(dqn)
     ckpt_step = None
     if restored is not None:
@@ -126,7 +139,7 @@ def main(argv=None):
         json.dump(
             {
                 "checkpoint_step": ckpt_step,
-                "checkpoint_dir": os.path.join(base, "ckpt"),
+                "checkpoint_dir": ckpt_dir,
                 "precision": cfg.flow.precision,
                 "use_best": args.use_best,
             },

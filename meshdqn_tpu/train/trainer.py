@@ -633,6 +633,19 @@ class Trainer:
         removals_ok, removals, total = 0, 0, 0.0
         reason = "max_steps"
         for _ in range(max_steps):
+            # A probe is up to `max_steps` serial single-env device calls
+            # (~1 min contended); without this poll a PAUSE from bench.py
+            # can sit unacked past its handshake timeout (observed r4).
+            if os.path.exists(os.path.join(self.save_dir, "PAUSE")) or (
+                os.path.exists(os.path.join(self.save_dir, "STOP"))
+            ):
+                self.jsonlog.log(
+                    "deploy_probe", episode=self.state.episode,
+                    removals=removals, removals_ok=removals_ok,
+                    reward=round(total, 3), terminal="aborted_pause",
+                    best=False,
+                )
+                return
             a = int(select_action(self.dqn.params1, state, topk=self.dqn_cfg.topk))
             state, rew, done, info = env.step(a)
             total += rew
