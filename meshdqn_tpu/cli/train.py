@@ -32,6 +32,25 @@ def main(argv=None):
     from ..utils import Config
 
     cfg = Config.from_yaml(args.config).apply_overrides(args.overrides)
+
+    # Startup PAUSE poll: a freshly relaunched trainer spends minutes in
+    # restore + first-sweep compile before the in-loop poll runs, which can
+    # outlast a pauser's handshake window (observed r4: bench pause timed
+    # out against a trainer that had just relaunched).  Nothing is live yet,
+    # so acking here is trivially lossless.
+    import os
+    import sys
+
+    run_dir = os.path.join(cfg.save_dir, cfg.prefix.rstrip("_"))
+    pause_f = os.path.join(run_dir, "PAUSE")
+    if os.path.exists(pause_f):
+        try:
+            os.replace(pause_f, os.path.join(run_dir, "PAUSED"))
+        except OSError:
+            pass
+        print("PAUSE present at startup; acked before any work", flush=True)
+        sys.exit(76)
+
     trainer = Trainer(cfg, resume=not args.no_resume)
     summary = trainer.train(num_episodes=args.episodes, max_steps=args.max_steps)
     print(json.dumps(summary))

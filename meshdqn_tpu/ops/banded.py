@@ -100,12 +100,21 @@ class BandedMatrix:
         cls,
         A: sp.spmatrix,
         dtype=jnp.float32,
-        R: int = 8,
+        R: int | None = None,
         g: int | None = None,
         device_build: bool = True,
         aligned128: bool | None = None,
     ) -> "BandedMatrix":
         """Build from a (reordered) scipy matrix.
+
+        R (rows per block) defaults to 128 on the TPU backend and 8
+        elsewhere.  R=128 is the round-4 production layout: the R=8
+        blocks (B~3.7k tiny (8, W) tiles at the finest sweep row) hit
+        ~53 GB/s through every XLA formulation tried, while the identical
+        algebra over (128, W) tiles streams at 370 GB/s (0.33 ms vs
+        2.28 ms per matvec, scripts/banded_formulation_bench.py chain-150
+        asymptote, v5e) — and ties the Pallas kernel (382 GB/s), so the
+        plain-XLA form stays the production path.
 
         g defaults to round(R * n_cols / n_rows) — the column advance per
         row-block that keeps a banded operator's windows centered.  With
@@ -115,6 +124,8 @@ class BandedMatrix:
         aligned128 (default: the USE_PALLAS setting) stores the kernel's
         lane-aligned window layout.
         """
+        if R is None:
+            R = 128 if jax.default_backend() == "tpu" else 8
         if aligned128 is None:
             aligned128 = USE_PALLAS
         A = A.tocsr()
@@ -211,14 +222,33 @@ def banded_matmat(blocks, X, pad, g, shape):
     Xpad = jnp.zeros((L, mr), dtype=X.dtype)
     Xpad = jax.lax.dynamic_update_slice(Xpad, X, (pad, 0))
     Z = Xpad.reshape(B + m - 1, g, mr)
-    X_win = jnp.concatenate([Z[q : q + B] for q in range(m)], axis=1)
-    X_win = X_win.astype(blocks.dtype)
     # Broadcast-multiply + reduce, NOT einsum/dot_general: a batched
     # (R, W) @ (W, mr<=2) matmul pads its tiny output dim to MXU tiles
     # (measured ~10x off roofline at mr=1); the elementwise form fuses
-    # into a VPU multiply-reduce that streams `blocks` once at HBM
-    # bandwidth.  mr is static and small (1 or 2), so the python loop
-    # just unrolls.
+    # into a VPU multiply-reduce that streams `blocks` once.  mr is
+    # static and small (1 or 2), so the python loops just unroll.
+    if m <= 32:
+        # q-partitioned accumulation (production, R=128 layouts): each of
+        # the m terms streams its own (B, R, g) slice of `blocks` against
+        # a shifted view of Z — no (B, W) window array is materialized.
+        # 370 GB/s at the finest sweep row vs 53 GB/s for the windowed
+        # concat over the old R=8 layout (same algebra; the win is the
+        # (128, W) tile shape — scripts/banded_formulation_bench.py).
+        acc_dt = jnp.promote_types(blocks.dtype, jnp.float32)
+        Y = jnp.zeros((B, R, mr), dtype=acc_dt)
+        for q in range(m):
+            bq = blocks[:, :, q * g : (q + 1) * g]
+            zq = Z[q : q + B].astype(blocks.dtype)
+            for i in range(mr):
+                Y = Y.at[..., i].add(
+                    jnp.sum(bq * zq[..., i][:, None, :], axis=2,
+                            dtype=acc_dt)
+                )
+        return Y.reshape(B * R, mr)[:n_rows]
+    # Legacy windowed-concat form (R=8 layouts: m = W/g is large, the
+    # unrolled q-loop would emit hundreds of slices).
+    X_win = jnp.concatenate([Z[q : q + B] for q in range(m)], axis=1)
+    X_win = X_win.astype(blocks.dtype)
     outs = [
         jnp.sum(blocks * X_win[..., i][:, None, :], axis=2) for i in range(mr)
     ]

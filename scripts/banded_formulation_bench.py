@@ -30,12 +30,32 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import functools
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def deadline(seconds: int):
+    """SIGALRM guard: the remote compile service sometimes hangs a request
+    indefinitely (docs/AXON.md); convert that into a TimeoutError so one
+    wedged candidate doesn't stall the whole shoot-out."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"deadline {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -288,8 +308,11 @@ def main(argv=None):
                 print(f"pl_{mode}_R128{tag}: build failed: {e}", flush=True)
 
     if args.only:
-        cands = {k: v for k, v in cands.items() if args.only in k
-                 or k == "xla_win_R8"}
+        import fnmatch
+
+        pats = args.only.split(",")
+        cands = {k: v for k, v in cands.items()
+                 if any(fnmatch.fnmatch(k, p) for p in pats)}
     # Pause BEFORE the correctness phase too: the first evaluation of each
     # candidate is its compile, and on the shared chip/core those queue
     # behind two live trainers for many minutes.
@@ -305,7 +328,8 @@ def main(argv=None):
         ok = {}
         for name, (mv, _) in cands.items():
             try:
-                y = np.asarray(mv(x), np.float64)
+                with deadline(240):
+                    y = np.asarray(mv(x), np.float64)
                 err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
                 tol = 1e-5 if "bf16" not in name else 3e-2
                 ok[name] = err < tol
@@ -333,7 +357,8 @@ def main(argv=None):
                 return v
 
             try:
-                _ = chained(x).block_until_ready()
+                with deadline(300):
+                    _ = chained(x).block_until_ready()
                 walls = []
                 for _i in range(args.reps):
                     t0 = time.time()

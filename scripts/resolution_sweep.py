@@ -53,7 +53,12 @@ FUSED_VERTEX_LIMIT = 1600
 # steps fine (scripts/cg_tpu_probe.py, ROADMAP.md).  Between the fused
 # limit and this, the UNFUSED dense invert-once path is used (operators
 # inverted on host under ON_DEVICE_LU_ROW_LIMIT).
-DENSE_TPU_VERTEX_LIMIT = 2600
+# Round 4: lowered 2600 -> 1600 (= the fused limit).  The unfused dense
+# rows ran ~12 ms/step and produced the 13 s -> 61 s sweep-TIME cliff at
+# the fused->dense handoff (VERDICT r3); with the R=128 banded layout the
+# block-(6,5) CG path is faster than unfused dense from ~1.7k verts up
+# (6.3 ms/step at 3796 verts), so CG now starts where fused ends.
+DENSE_TPU_VERTEX_LIMIT = 1600
 # 125-step chunks run fine with the banded CG layout (the >=100-step scan
 # crash was observed with the ELL gather layout; banded probes ran 125-step
 # chunks repeatedly, scripts/cg_microbench.py round 3).

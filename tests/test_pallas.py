@@ -178,3 +178,89 @@ class TestBandedMatmatPallas:
             np.testing.assert_allclose(
                 Y, M @ X, rtol=3e-5, atol=2e-5
             )
+
+
+class TestBandedR128Layout:
+    """The round-4 TPU production layout: R=128 row-blocks + the
+    q-partitioned XLA matvec (ops/banded.banded_matmat m<=32 branch).
+    On CPU from_scipy defaults to R=8, so these pin R=128 explicitly —
+    same algebra the formulation shoot-out validated on hardware
+    (scripts/banded_formulation_bench.py: 0.33 ms vs 2.28 ms per matvec
+    at the finest sweep row)."""
+
+    def _mat(self, nr, nc, seed):
+        import scipy.sparse as sp
+
+        A = sp.random(nr, nc, density=0.03, random_state=seed, format="csr")
+        return (A + sp.eye(nr, nc)).tocsr()
+
+    @pytest.mark.parametrize("mr", [1, 2])
+    def test_square_qsum_matches_scipy(self, mr):
+        from meshdqn_tpu.ops.banded import BandedMatrix
+
+        rng = np.random.default_rng(0)
+        A = self._mat(700, 700, 11)
+        Bm = BandedMatrix.from_scipy(
+            A, dtype=jnp.float32, R=128, device_build=False, aligned128=False
+        )
+        assert Bm.blocks.shape[1] == 128
+        # the production branch: m = W/g small enough for the q-loop
+        assert Bm.blocks.shape[2] // Bm.g <= 32
+        X = rng.standard_normal((700, mr)).astype(np.float32)
+        Y = np.asarray(Bm.matmat(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, A @ X, rtol=3e-5, atol=2e-5)
+
+    def test_rectangular_qsum(self):
+        from meshdqn_tpu.ops.banded import BandedMatrix
+
+        rng = np.random.default_rng(1)
+        sq = self._mat(700, 700, 12)
+        for M in (sq[:350, :], sq[:, :350].tocsr()):
+            Bm = BandedMatrix.from_scipy(
+                M, dtype=jnp.float32, R=128, device_build=False,
+                aligned128=False,
+            )
+            X = rng.standard_normal((M.shape[1], 1)).astype(np.float32)
+            Y = np.asarray(Bm.matmat(jnp.asarray(X)))
+            np.testing.assert_allclose(Y, M @ X, rtol=3e-5, atol=2e-5)
+
+    def test_f64_accumulation_dtype(self):
+        from meshdqn_tpu.ops.banded import BandedMatrix
+
+        A = self._mat(300, 300, 13)
+        Bm = BandedMatrix.from_scipy(
+            A, dtype=jnp.float64, R=128, device_build=False, aligned128=False
+        )
+        X = np.random.default_rng(2).standard_normal((300, 1))
+        Y = np.asarray(Bm.matmat(jnp.asarray(X)))
+        assert Y.dtype == np.float64
+        np.testing.assert_allclose(Y, A @ X, rtol=1e-12, atol=1e-12)
+
+    def test_pcg_with_r128_operator(self):
+        """End-to-end: fixed-iteration PCG over the R=128 layout converges
+        identically to the R=8 layout (same math, different tiling)."""
+        import scipy.sparse as sp
+
+        from meshdqn_tpu.ops.banded import BandedMatrix, rcm_permutation
+        from meshdqn_tpu.ops.cg import pcg
+
+        rng = np.random.default_rng(3)
+        n = 500
+        A = sp.random(n, n, density=0.02, random_state=4, format="csr")
+        A = A @ A.T + 5 * sp.eye(n)
+        perm = rcm_permutation(A)
+        Ap = A.tocsr()[perm][:, perm].tocsr()
+        d = jnp.asarray(1.0 / Ap.diagonal(), jnp.float32)
+        b = rng.standard_normal((n, 1)).astype(np.float32)
+        xs = {}
+        for R in (8, 128):
+            Bm = BandedMatrix.from_scipy(
+                Ap, dtype=jnp.float32, R=R, device_build=False,
+                aligned128=False,
+            )
+            xs[R] = np.asarray(
+                pcg(Bm, d, jnp.asarray(b), jnp.zeros((n, 1), jnp.float32), 30)
+            )
+            ref = np.linalg.solve(Ap.toarray(), b)
+            np.testing.assert_allclose(xs[R], ref, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(xs[8], xs[128], rtol=2e-4, atol=2e-5)
