@@ -31,6 +31,15 @@ def main(argv=None):
     )
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument(
+        "--verified",
+        action="store_true",
+        help="extension beyond the reference: when the complete_traj "
+        "re-simulation of a removal breaches the accuracy threshold, roll "
+        "that removal back, mask the vertex, and continue — every removal "
+        "in the recorded trajectory is re-sim-verified",
+    )
+    ap.add_argument("--max-rejections", type=int, default=12)
+    ap.add_argument(
         "--surrogate",
         action="store_true",
         help="use a pretrained AirfoilGCNN drag surrogate "
@@ -129,6 +138,8 @@ def main(argv=None):
         surrogate_model=args.surrogate,
         surrogate_path=args.surrogate_path,
         restart=args.restart,
+        verified=args.verified,
+        max_rejections=args.max_rejections,
     )
     deployer = Deployer(cfg, gt, dqn.params1, options=opts)
     # Provenance: record which checkpoint produced this deployment (the

@@ -44,6 +44,14 @@ class DeployOptions:
     use_best: bool = False
     confirm: bool = False
     output_dir: str = "deployed"
+    # Extension beyond the reference (whose deployer never backtracks,
+    # deploy_dqn.py:420-424): when the complete_traj re-simulation of a
+    # removal breaches the accuracy threshold, roll that single removal
+    # back, mask the vertex out of future action selection, and continue.
+    # Uses only information complete_traj already computes; produces a
+    # trajectory whose EVERY recorded removal is re-sim-verified.
+    verified: bool = False
+    max_rejections: int = 12
     # SURROGATE_MODEL (deploy_dqn.py:19, 95-100, 193, 309): estimate drag
     # per step with a pretrained AirfoilGCNN instead of relying only on the
     # probe re-integration.  NOTE: the committed reference loads the model
@@ -258,6 +266,12 @@ class Deployer:
         num_steps = max_steps or cfg.agent.timesteps
         t0 = 0
         resume_done = False
+        # --verified bookkeeping: vertex ROWS (stable identities — removals
+        # shift higher rows down by one; smoothing moves coordinates but
+        # not rows) whose removal the re-simulation rejected.
+        rejected_rows: set[int] = set()
+        rejections = 0
+        gt_last_drag = float(np.asarray(self.gt.gt_drag)[-1])
 
         if resume is not None:
             # Replay the completed steps through the env (cheap mesh
@@ -290,10 +304,32 @@ class Deployer:
                 if t >= len(best_actions):
                     break
                 action = best_actions[t]
+            elif rejected_rows:
+                # Masked greedy: argmax over actions whose target vertex
+                # was not re-sim-rejected (--verified); do-nothing stays
+                # available.
+                from ..rl.dqn import forward
+
+                q = np.array(forward(self.params1, state, topk=self.topk))
+                win = env._current_window
+                for i in range(min(len(win), env.action_space_n)):
+                    if int(win[i]) in rejected_rows:
+                        q[i] = -np.inf
+                action = int(np.argmax(q))
             else:
                 action = int(select_action(self.params1, state, topk=self.topk))
 
             removing = action < env.action_space_n
+            vrow = (
+                int(env._current_window[action])
+                if removing and len(env._current_window) > action
+                else None
+            )
+            env_snap = (
+                env.snapshot_state()
+                if (opts.verified and opts.complete_traj and removing)
+                else None
+            )
             if removing and len(env._current_window) > action:
                 removed_coords.append(
                     env.mesh.coords[env._current_window[action]].copy()
@@ -344,11 +380,45 @@ class Deployer:
 
             if opts.complete_traj and removing and info.removed == 0:
                 d, l = run_sim(env.mesh, cfg)
+                resim_err = abs(float(d[-1]) - gt_last_drag) / abs(gt_last_drag)
+                if (
+                    opts.verified
+                    and env_snap is not None
+                    and resim_err > cfg.agent.threshold
+                    and rejections < opts.max_rejections
+                ):
+                    # The interpolated estimate accepted this removal but
+                    # the full re-simulation breaches the threshold: undo
+                    # it, mask the vertex, keep going.  All bookkeeping
+                    # appended for this step is unwound so the recorded
+                    # trajectory contains only verified removals.
+                    env.restore_state(env_snap)
+                    state = env.get_state()
+                    rejected_rows.add(vrow)
+                    rejections += 1
+                    removed_coords.pop()
+                    est_drags.pop(); est_lifts.pop(); est_vertices.pop()
+                    actions_taken.pop(); raw_actions.pop()
+                    if surrogate is not None and surrogate_drags:
+                        surrogate_drags.pop()
+                    print(
+                        f"VERIFIED: rejected removal of vertex row {vrow} "
+                        f"(re-sim drag err {100 * resim_err:.4f}% > "
+                        f"{100 * cfg.agent.threshold:.2f}%), "
+                        f"{rejections}/{opts.max_rejections}"
+                    )
+                    continue
                 traj_drags.append(d)
                 traj_lifts.append(l)
                 traj_vertices.append(env.mesh.num_vertices)
                 complete_drags.append(d)
                 complete_lifts.append(l)
+                if opts.verified and vrow is not None:
+                    # An accepted removal of row v shifts every higher row
+                    # down by one in the new mesh's indexing.
+                    rejected_rows = {
+                        r - 1 if r > vrow else r for r in rejected_rows
+                    }
 
             # Incremental saves (deploy_dqn.py:392-417).
             self._save_est(est_vertices, est_drags, est_lifts)

@@ -406,6 +406,33 @@ class AirfoilEnv:
         return state, float(rew), self.terminal, info
 
     # ------------------------------------------------------------------
+    _SNAPSHOT_FIELDS = (
+        "mesh", "markers", "_drag_probe", "_lift_probe", "removable",
+        "_dev_snaps", "_snaps_np", "_vfields", "new_drags", "new_lifts",
+        "_cached_state_inputs", "_last_state_inputs", "_current_window",
+        "out_of_vertices", "do_nothing_offset", "steps", "terminal",
+    )
+
+    def snapshot_state(self) -> dict:
+        """Capture the env's mutable per-episode state so a committed step
+        can be undone externally (deploy --verified: a removal whose FULL
+        re-simulation breaches the threshold is rolled back even though the
+        interpolated estimate accepted it).  Shallow references suffice:
+        every step path REPLACES these fields rather than mutating them;
+        the one mutated list is copied."""
+        snap = {f: getattr(self, f, None) for f in self._SNAPSHOT_FIELDS}
+        snap["removed_coordinates"] = list(self.removed_coordinates)
+        return snap
+
+    def restore_state(self, snap: dict) -> None:
+        """Inverse of snapshot_state (an extension beyond the reference,
+        whose deployer only tracks a best_mesh and never backtracks —
+        deploy_dqn.py:420-424)."""
+        for f in self._SNAPSHOT_FIELDS:
+            setattr(self, f, snap[f])
+        self.removed_coordinates = list(snap["removed_coordinates"])
+
+    # ------------------------------------------------------------------
     def _begin_remove(self, action: int):
         """Host phase of a removal: mesh surgery + per-mesh products +
         device-call inputs.  Returns (status, pending); pending is None
