@@ -630,7 +630,7 @@ class Trainer:
         gtd = float(np.asarray(self.gt.gt_drag)[-1])
         state = env.reset()
         env.calculate_reward()
-        removals_ok, removals, total = 0, 0, 0.0
+        removals_ok, removals, removals_failed, total = 0, 0, 0, 0.0
         reason = "max_steps"
         for _ in range(max_steps):
             # A probe is up to `max_steps` serial single-env device calls
@@ -649,11 +649,19 @@ class Trainer:
             a = int(select_action(self.dqn.params1, state, topk=self.dqn_cfg.topk))
             state, rew, done, info = env.step(a)
             total += rew
-            if a < env.action_space_n:
+            # Only count removals the env actually executed (info.removed ==
+            # 0): on a FAILED removal env.new_drags is not refreshed
+            # (deployer.py records NaN for the same reason), so the stale
+            # within-threshold error from the last accepted step would
+            # otherwise count failed attempts as verified removals and let a
+            # repeatedly-invalid policy be crowned ckpt_best_deploy.
+            if a < env.action_space_n and info.removed == 0:
                 removals += 1
                 err = 100.0 * abs(float(env.new_drags[-1]) - gtd) / abs(gtd)
                 if err <= thr:
                     removals_ok += 1
+            elif a < env.action_space_n:
+                removals_failed += 1
             if done:
                 reason = info.terminal_reason or "done"
                 break
@@ -662,6 +670,7 @@ class Trainer:
         self.jsonlog.log(
             "deploy_probe", episode=self.state.episode,
             removals=removals, removals_ok=removals_ok,
+            removals_failed=removals_failed,
             reward=round(total, 3), terminal=reason, best=new_best,
         )
         if new_best:

@@ -84,6 +84,12 @@ def main(argv=None):
              "= solver defaults (25, 20).  (15, 12) measured equal drag at "
              "500 steps on the finest row at 1.5x the speed",
     )
+    ap.add_argument(
+        "--precond", default="block", choices=["block", "jacobi"],
+        help="preconditioner for TPU CG rows (default: block = round-4 "
+             "block-Jacobi production setting; jacobi = round-3 behaviour, "
+             "pair with --cg-iters 15 12 to reproduce r3 numbers)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -114,18 +120,28 @@ def main(argv=None):
             use_cg = big and (backend != "tpu" or nv > DENSE_TPU_VERTEX_LIMIT)
             cg_kw = {}
             if use_cg and backend == "tpu":
-                # Round-4 production setting for TPU CG rows: block-Jacobi
-                # PCG at (6,5) — drag-equal to Jacobi (15,12) to 1.1e-5 at
-                # 1.80x the speed (scripts/block_precond_study.py).
-                cg_kw = {
-                    "cg_iters_u": 6,
-                    "cg_iters_m": 5,
-                    "cg_precond": "block",
-                    "cg_block_size": 128,
-                }
+                if args.precond == "block":
+                    # Round-4 production setting for TPU CG rows:
+                    # block-Jacobi PCG at (6,5) — drag-equal to Jacobi
+                    # (15,12) to 1.1e-5 at 1.80x the speed
+                    # (scripts/block_precond_study.py).
+                    cg_kw = {
+                        "cg_iters_u": 6,
+                        "cg_iters_m": 5,
+                        "cg_precond": "block",
+                        "cg_block_size": 128,
+                    }
+                else:
+                    cg_kw = {"cg_precond": "jacobi"}
             if args.cg_iters is not None:
                 cg_kw["cg_iters_u"] = args.cg_iters[0]
                 cg_kw["cg_iters_m"] = args.cg_iters[1]
+            if use_cg:
+                print(
+                    f"  CG row settings: precond={cg_kw.get('cg_precond', 'jacobi')} "
+                    f"iters=({cg_kw.get('cg_iters_u', 25)}, {cg_kw.get('cg_iters_m', 20)})",
+                    flush=True,
+                )
             cfg = IPCSConfig(
                 precision="f32" if backend == "tpu" else "f64",
                 fused=fused,
