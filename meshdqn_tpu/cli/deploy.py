@@ -40,6 +40,15 @@ def main(argv=None):
     )
     ap.add_argument("--max-rejections", type=int, default=12)
     ap.add_argument(
+        "--recycle-every",
+        type=int,
+        default=0,
+        help="exit(75) after N re-simulations for a lossless process "
+        "recycle via scripts/run_deploy.sh (the axon remote client "
+        "degrades superlinearly with accumulated solver instances, "
+        "docs/AXON.md); 0 = off",
+    )
+    ap.add_argument(
         "--surrogate",
         action="store_true",
         help="use a pretrained AirfoilGCNN drag surrogate "
@@ -140,6 +149,7 @@ def main(argv=None):
         restart=args.restart,
         verified=args.verified,
         max_rejections=args.max_rejections,
+        recycle_every=args.recycle_every,
     )
     deployer = Deployer(cfg, gt, dqn.params1, options=opts)
     # Provenance: record which checkpoint produced this deployment (the

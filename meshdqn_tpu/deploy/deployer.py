@@ -61,6 +61,15 @@ class DeployOptions:
     # interpolated trajectory.
     surrogate_model: bool = False
     surrogate_path: str | None = None  # default: <run>/<prefix>surrogate_model.npz
+    # Process recycle: exit(75) after this many completed re-simulations in
+    # one process, to be relaunched with --restart by scripts/run_deploy.sh.
+    # Rationale: the axon remote-TPU client degrades superlinearly as
+    # IPCSSolver instances accumulate (re-sim wall measured 27.6 -> 50.1 ->
+    # 79.5 -> 123.1 s over four consecutive same-shape re-sims, r5); a
+    # fresh process restores the flat ~10 s cost and the resume state makes
+    # the restart lossless (completed re-sims are never recomputed).
+    # 0 = off.  Same pattern as Trainer._maybe_recycle (docs/AXON.md).
+    recycle_every: int = 0
     # RESTART (deploy_dqn.py:68, 113-124): resume an interrupted deployment.
     # The reference re-prefixes every artifact `restart_` per restart; here
     # the per-step deployment state (actions taken, interpolated/re-simulated
@@ -144,7 +153,7 @@ class Deployer:
     def _save_resume(self, raw_actions, removed_coords, est_vertices,
                      est_drags, est_lifts, traj_vertices, traj_drags,
                      traj_lifts, surrogate_drags, done, restarts,
-                     rejected_rows=(), rejections=0):
+                     rejected_rows=(), rejections=0, terminal_reason=""):
         """Persist the per-step deployment state (atomically) so an
         interrupted complete_traj run resumes without redoing its 5000-step
         re-simulations (deploy RESTART, deploy_dqn.py:68).  The --verified
@@ -170,6 +179,7 @@ class Deployer:
                 restarts=np.asarray(restarts, dtype=np.int64),
                 rejected_rows=np.asarray(sorted(rejected_rows), dtype=np.int64),
                 rejections=np.asarray(rejections, dtype=np.int64),
+                terminal_reason=np.asarray(terminal_reason),
             )
         os.replace(tmp, self.resume_path)
 
@@ -178,6 +188,23 @@ class Deployer:
             return None
         with np.load(self.resume_path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
+
+    # ------------------------------------------------------------------
+    def _maybe_recycle(self, resims_this_process: int) -> None:
+        """exit(75) once this process has burned its re-simulation budget
+        (DeployOptions.recycle_every); scripts/run_deploy.sh relaunches
+        with --restart and the resume state continues losslessly.  Called
+        only at points where the resume state has just been persisted."""
+        if (
+            self.opts.recycle_every
+            and resims_this_process >= self.opts.recycle_every
+        ):
+            print(
+                f"RECYCLE: {resims_this_process} re-simulations in this "
+                "process; exiting 75 for a fresh client (docs/AXON.md)",
+                flush=True,
+            )
+            raise SystemExit(75)
 
     # ------------------------------------------------------------------
     def _best_episode_actions(self) -> list[int]:
@@ -232,9 +259,12 @@ class Deployer:
         restarts = 0
         if resume is not None:
             restarts = int(resume["restarts"]) + 1
-            # Reference-style accumulating artifact re-prefix per restart
-            # (deploy_dqn.py:113-124 builds "restart_"*RESTART_NUM names).
-            self.obj = "restart_" * restarts + self.obj
+            # Reference-style artifact re-prefix on restart (deploy_dqn.py:
+            # 113-124 builds accumulating "restart_"*N names; with periodic
+            # process recycling N reaches double digits, so the prefix is
+            # capped at one "restart_" and the restart COUNT is recorded in
+            # the deploy summary instead).
+            self.obj = "restart_" + self.obj
             print(
                 f"DEPLOY RESTART {restarts}: resuming after "
                 f"{len(resume['raw_actions'])} completed steps"
@@ -321,7 +351,10 @@ class Deployer:
         from .viz import vertex_plot
 
         terminal_reason = "max_steps"
+        if resume is not None and resume_done and "terminal_reason" in resume:
+            terminal_reason = str(resume["terminal_reason"])
         interp_overrides = 0
+        resims_this_process = 0
         for t in range(t0, num_steps if not resume_done else t0):
             if best_actions is not None:
                 if t >= len(best_actions):
@@ -369,7 +402,9 @@ class Deployer:
                         vertex_coord=removed_coords[-1],
                     )
 
+            t_step0 = time.time()
             state, reward, done, info = env.step(action)
+            t_env = time.time() - t_step0
             # env.new_drags/new_lifts are only refreshed when the step's
             # probe re-integration ran (removed == 0 and not out-of-vertices);
             # on failed removals record NaN rows so the interpolated
@@ -402,8 +437,12 @@ class Deployer:
             actions_taken.append(action if removing else None)
             raw_actions.append(action)
 
+            t_resim = 0.0
             if opts.complete_traj and removing and info.removed == 0:
+                t_r0 = time.time()
                 d, l = run_sim(env.mesh, cfg)
+                t_resim = time.time() - t_r0
+                resims_this_process += 1
                 resim_err = abs(float(d[-1]) - gt_last_drag) / abs(gt_last_drag)
                 if (
                     opts.verified
@@ -447,6 +486,7 @@ class Deployer:
                         # removal just because the budget ran out).
                         terminal_reason = "max_rejections"
                         break
+                    self._maybe_recycle(resims_this_process)
                     continue
                 traj_drags.append(d)
                 traj_lifts.append(l)
@@ -460,16 +500,12 @@ class Deployer:
                         r - 1 if r > vrow else r for r in rejected_rows
                     }
 
-            # Incremental saves (deploy_dqn.py:392-417).
-            self._save_est(est_vertices, est_drags, est_lifts)
-            if opts.complete_traj:
-                self._save_traj(traj_vertices, traj_drags, traj_lifts)
-            self._save_resume(
-                raw_actions, removed_coords, est_vertices, est_drags,
-                est_lifts, traj_vertices, traj_drags, traj_lifts,
-                surrogate_drags, done, restarts, rejected_rows, rejections,
+            print(
+                f"step {t}: action {action} verts {env.mesh.num_vertices} "
+                f"env {t_env:.1f}s resim {t_resim:.1f}s"
+                + (f" err {100 * resim_err:.4f}%" if t_resim else ""),
+                flush=True,
             )
-
             # The reference updates best_mesh unconditionally BEFORE the done
             # check (deploy_dqn.py:420-424 assigns in both branches), so the
             # deliverable includes the terminal step's removal.
@@ -501,7 +537,25 @@ class Deployer:
                         )
                 else:
                     terminal_reason = reason
-                    break
+
+            # Incremental saves (deploy_dqn.py:392-417) AFTER the override
+            # decision: the persisted `done` must be the post-override
+            # verdict, or a restarted run treats an overridden interp
+            # breach as a finished deployment (observed r5: a recycle
+            # restart finalized at 22 removals because done=True had been
+            # saved pre-override and the resume state was then deleted).
+            self._save_est(est_vertices, est_drags, est_lifts)
+            if opts.complete_traj:
+                self._save_traj(traj_vertices, traj_drags, traj_lifts)
+            self._save_resume(
+                raw_actions, removed_coords, est_vertices, est_drags,
+                est_lifts, traj_vertices, traj_drags, traj_lifts,
+                surrogate_drags, done, restarts, rejected_rows, rejections,
+                terminal_reason,
+            )
+            if done:
+                break
+            self._maybe_recycle(resims_this_process)
 
         if opts.end_plots and removed_coords:
             vertex_plot(

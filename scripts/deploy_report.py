@@ -36,7 +36,14 @@ def build_section(run_dir: str, threshold: float = 1e-3, note: str = ""):
     trajs = [t for t in trajs if "interpolate" not in os.path.basename(t)]
     if not trajs:
         raise SystemExit(f"no complete-trajectory artifact under {dep}")
-    traj = np.load(trajs[-1])  # (rows, 1 + S + S): vertices, drags, lifts
+    # A --restart resumed deployment re-prefixes its artifacts restart_
+    # (deploy_dqn.py:113-124 semantics); the resumed file supersedes the
+    # original, so pick the trajectory with the most completed rows
+    # (tiebreak: newest).
+    traj_path = max(
+        trajs, key=lambda t: (np.load(t).shape[0], os.path.getmtime(t))
+    )
+    traj = np.load(traj_path)  # (rows, 1 + S + S): vertices, drags, lifts
     n_s = (traj.shape[1] - 1) // 2
     vertices = traj[:, 0].astype(int)
     drags = traj[:, 1 : 1 + n_s]
@@ -71,6 +78,17 @@ def build_section(run_dir: str, threshold: float = 1e-3, note: str = ""):
     cu = os.path.join(dep, "checkpoint_used.json")
     if os.path.exists(cu):
         section["checkpoint_used"] = json.load(open(cu))
+    # Deployer-written run summary (terminal reason, --verified stats,
+    # goal-floor status) — newest wins across restarts.
+    summaries = glob.glob(os.path.join(dep, "*_deploy_summary.json"))
+    if summaries:
+        s = json.load(open(max(summaries, key=os.path.getmtime)))
+        for k in (
+            "terminal_reason", "verified", "rejections", "interp_overrides",
+            "goal_vertices_floor", "reached_goal_floor", "final_sim_s",
+        ):
+            if k in s:
+                section[k] = s[k]
     return section
 
 
