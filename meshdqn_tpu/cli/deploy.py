@@ -40,6 +40,16 @@ def main(argv=None):
     )
     ap.add_argument("--max-rejections", type=int, default=12)
     ap.add_argument(
+        "--resim-method",
+        default="dense",
+        choices=["dense", "cg"],
+        help="solver path for complete_traj re-simulations: 'dense' = "
+        "fused invert-once (fastest solve, ~471 MB device state per solver "
+        "instance, which the axon worker leaks), 'cg' = sparse banded "
+        "block-Jacobi PCG (flat ~20 MB footprint; use for many-removal "
+        "verified deploys)",
+    )
+    ap.add_argument(
         "--recycle-every",
         type=int,
         default=0,
@@ -150,6 +160,7 @@ def main(argv=None):
         verified=args.verified,
         max_rejections=args.max_rejections,
         recycle_every=args.recycle_every,
+        resim_method=args.resim_method,
     )
     deployer = Deployer(cfg, gt, dqn.params1, options=opts)
     # Provenance: record which checkpoint produced this deployment (the

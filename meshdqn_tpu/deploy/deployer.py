@@ -70,6 +70,9 @@ class DeployOptions:
     # the restart lossless (completed re-sims are never recomputed).
     # 0 = off.  Same pattern as Trainer._maybe_recycle (docs/AXON.md).
     recycle_every: int = 0
+    # Re-simulation solver path: 'dense' (fused invert-once) or 'cg'
+    # (sparse banded PCG; flat device footprint — see run_sim).
+    resim_method: str = "dense"
     # RESTART (deploy_dqn.py:68, 113-124): resume an interrupted deployment.
     # The reference re-prefixes every artifact `restart_` per restart; here
     # the per-step deployment state (actions taken, interpolated/re-simulated
@@ -106,21 +109,54 @@ class DeployResult:
     interp_overrides: int = 0
 
 
-def run_sim(mesh: TriMesh, config: Config):
+def run_sim(mesh: TriMesh, config: Config, method: str = "dense"):
     """Full transient solve on `mesh`; returns snapshot drags/lifts
-    (run_sim, deploy_dqn.py:262-269)."""
-    solver = IPCSSolver(
-        mesh,
-        IPCSConfig(
+    (run_sim, deploy_dqn.py:262-269).
+
+    method='dense': the fused invert-once path (fastest solve, but each
+    solver instance allocates ~471 MB of dense operators on device — the
+    axon worker leaks them across solver lifetimes AND client reconnects,
+    so a many-removal deploy degrades superlinearly, docs/AXON.md).
+    method='cg': the sparse banded block-Jacobi PCG production path
+    (finest-row settings) — ~20 MB of device state per solver, trading a
+    slower solve for a flat per-removal cost over arbitrarily many
+    re-simulations."""
+    import time as _t
+
+    t0 = _t.time()
+    if method == "cg":
+        cfg = IPCSConfig(
             mu=config.flow.mu,
             rho=config.flow.rho,
             dt=config.flow.dt,
             precision=config.flow.precision,
             refine_iters=config.flow.refine_iters,
             pad_quantum=config.flow.pad_quantum,
-        ),
-    )
+            fused=False,
+            method="cg",
+            cg_chunk=25,
+            cg_iters_u=6,
+            cg_iters_m=5,
+            cg_precond="block",
+            cg_block_size=128,
+        )
+    else:
+        cfg = IPCSConfig(
+            mu=config.flow.mu,
+            rho=config.flow.rho,
+            dt=config.flow.dt,
+            precision=config.flow.precision,
+            refine_iters=config.flow.refine_iters,
+            pad_quantum=config.flow.pad_quantum,
+        )
+    solver = IPCSSolver(mesh, cfg)
+    t_setup = _t.time() - t0
     out = solver.solve(config.agent.solver_steps, save_steps=config.agent.save_steps)
+    print(
+        f"  run_sim[{method}]: setup {t_setup:.1f}s "
+        f"solve {_t.time() - t0 - t_setup:.1f}s",
+        flush=True,
+    )
     return np.asarray(out["snap_drags"]), np.asarray(out["snap_lifts"])
 
 
@@ -440,7 +476,7 @@ class Deployer:
             t_resim = 0.0
             if opts.complete_traj and removing and info.removed == 0:
                 t_r0 = time.time()
-                d, l = run_sim(env.mesh, cfg)
+                d, l = run_sim(env.mesh, cfg, method=opts.resim_method)
                 t_resim = time.time() - t_r0
                 resims_this_process += 1
                 resim_err = abs(float(d[-1]) - gt_last_drag) / abs(gt_last_drag)
@@ -582,7 +618,7 @@ class Deployer:
         # Final timed re-simulation on the rolled-back best mesh
         # (deploy_dqn.py:496-517).
         t0 = time.time()
-        final_drags, final_lifts = run_sim(best_mesh, cfg)
+        final_drags, final_lifts = run_sim(best_mesh, cfg, method=opts.resim_method)
         final_sim_s = time.time() - t0
         gt_final = float(np.asarray(self.gt.gt_drag)[-1])
         new_drag = float(final_drags[-1])

@@ -54,12 +54,17 @@ class ConvectionKernel:
         dtype=jnp.float64,
         ns_pad: int | None = None,
         dof_perm: np.ndarray | None = None,
+        cells_pad: int = 0,
     ) -> "ConvectionKernel":
         """ns_pad: re-layout output dofs for a scalar block padded to ns_pad
         (solver pad_quantum): y-component dofs shift from +Ns to +ns_pad.
         dof_perm: old->new velocity dof map (e.g. the banded CG layout's
         interleaved RCM order); gather/scatter indices are remapped so the
-        kernel consumes and produces vectors in the NEW layout."""
+        kernel consumes and produces vectors in the NEW layout.
+        cells_pad: quantize the cell count up to a multiple by repeating
+        cell 0's tabulation with wdet=0 — exact (each cell's contribution
+        is scaled by wdet) and it keeps the evolve program's shapes stable
+        across meshes in a pad_quantum bucket so removals don't recompile."""
         pts, w = dunavant_6()
         phi = p2_basis(pts)
         gref = p2_grads(pts)
@@ -78,6 +83,19 @@ class ConvectionKernel:
         if dof_perm is not None:
             assert ns_pad is None, "dof_perm and ns_pad are exclusive"
             cell_dofs = np.asarray(dof_perm)[cell_dofs]
+        if cells_pad:
+            C = cell_dofs.shape[0]
+            k = -(-C // cells_pad) * cells_pad - C
+            if k:
+                cell_dofs = np.concatenate(
+                    [cell_dofs, np.repeat(cell_dofs[:1], k, axis=0)]
+                )
+                gphys = np.concatenate(
+                    [gphys, np.repeat(gphys[:1], k, axis=0)]
+                )
+                wdet = np.concatenate(
+                    [wdet, np.zeros((k, wdet.shape[1]), wdet.dtype)]
+                )
         return cls(
             cell_dofs=jnp.asarray(cell_dofs),
             phi=jnp.asarray(phi, dtype=dtype),

@@ -196,13 +196,27 @@ def build_fused_host_f64(
     return dev, lo
 
 
-def _coo64(A):
+def _coo64(A, nnz_pad: int = 0):
+    """COO triplet arrays for device-side densification.
+
+    nnz_pad > 0 quantizes the entry count up to a multiple by appending
+    explicit (0, 0, 0.0) entries — exact under the `_dense64` scatter-add,
+    and it makes the composition modules' input shapes (and therefore the
+    compiled programs) identical across meshes whose dof counts share a
+    pad_quantum bucket: a one-vertex removal changes nnz, and without this
+    every deploy re-simulation paid the remote compile service ~20-40 s
+    for an otherwise-identical module (measured r5; docs/AXON.md)."""
     A = sp.coo_matrix(A)
-    return (
-        jnp.asarray(A.row.astype(np.int32)),
-        jnp.asarray(A.col.astype(np.int32)),
-        jnp.asarray(A.data.astype(np.float64)),
-    )
+    row = A.row.astype(np.int32)
+    col = A.col.astype(np.int32)
+    dat = A.data.astype(np.float64)
+    if nnz_pad:
+        k = -(-len(dat) // nnz_pad) * nnz_pad - len(dat)
+        if k:
+            row = np.concatenate([row, np.zeros(k, np.int32)])
+            col = np.concatenate([col, np.zeros(k, np.int32)])
+            dat = np.concatenate([dat, np.zeros(k, np.float64)])
+    return (jnp.asarray(row), jnp.asarray(col), jnp.asarray(dat))
 
 
 def _dense64(coo, shape):
@@ -403,6 +417,7 @@ def build_fused_refined(
     lift_p,
     split: bool = False,
     inv_iters: tuple = (24, 40, 24),
+    nnz_quantum: int = 0,
 ):
     """Compose the fused operators ON DEVICE at f64-composition accuracy.
 
@@ -426,17 +441,18 @@ def build_fused_refined(
     # * eps per sweep) at least as strong as raw-kappa LU's, so the sweep
     # count stays at 3.
     ii1, ii2, ii3 = inv_iters
+    q = nnz_quantum
     F1u, F1p, A1Z, k1 = _compose_sys1(
-        _coo64(A1bc), _coo64(R1), _coo64(P1m), f64(z_u), f64(t1),
+        _coo64(A1bc, q), _coo64(R1, q), _coo64(P1m, q), f64(z_u), f64(t1),
         n1=n1, npp=npp, iters=3, split=split, inv_iters=ii1,
     )
     F2p, F2u, k2 = _compose_sys2(
-        _coo64(A2bc), _coo64(Kp), _coo64(BT), f64(z_p), f64(t2),
+        _coo64(A2bc, q), _coo64(Kp, q), _coo64(BT, q), f64(z_p), f64(t2),
         jnp.asarray(dt, jnp.float64), npp=npp, n1=n1,
         iters=3, split=split, inv_iters=ii2,
     )
     F3s, F3p, k3 = _compose_sys3(
-        _coo64(A3bc_s), _coo64(Ms), _coo64(G), f64(z_u[:Ns]),
+        _coo64(A3bc_s, q), _coo64(Ms, q), _coo64(G, q), f64(z_u[:Ns]),
         f64(t3[:Ns]), f64(t3[Ns:]), jnp.asarray(dt, jnp.float64),
         ns=Ns, npp=npp, iters=3, split=split, inv_iters=ii3,
     )

@@ -640,6 +640,14 @@ class IPCSSolver:
                 # safe size.  Compose on host (exact f64 LAPACK) instead.
                 compose_host = True
             builder = build_fused_host_f64 if compose_host else build_fused_refined
+            extra = {}
+            if not compose_host and cfg.pad_quantum:
+                # Quantize the composition modules' COO input lengths so
+                # every mesh in a pad bucket compiles to the SAME programs
+                # (persistent-cache hits): without this each deploy
+                # re-simulation repaid the remote compile service even
+                # though the dense shapes were identical (docs/AXON.md).
+                extra["nnz_quantum"] = 4096
             built = builder(
                 A1bc=A1bc,
                 A2bc=A2bc,
@@ -658,13 +666,15 @@ class IPCSSolver:
                 dt=cfg.dt,
                 rho=cfg.rho,
                 conv=ConvectionKernel.build(
-                    mesh, dtype=jnp.float32, ns_pad=conv_ns_pad
+                    mesh, dtype=jnp.float32, ns_pad=conv_ns_pad,
+                    cells_pad=256 if cfg.pad_quantum else 0,
                 ),
                 drag_u=du,
                 drag_p=dp_,
                 lift_u=lu,
                 lift_p=lp_,
                 split=cfg.precision == "df32",
+                **extra,
             )
             if cfg.precision == "df32":
                 self.dev, self.dev_lo = built
