@@ -548,6 +548,15 @@ class Deployer:
             best_mesh = env.mesh
             if done:
                 reason = info.terminal_reason or "done"
+                # The env reports "accuracy" when BOTH the interp-accuracy
+                # breach and the vertex floor hold (Env2DAirfoil.py:417-420
+                # check order); an override must not sail past the
+                # goal_vertices floor, so reclassify first.
+                if reason == "accuracy" and (
+                    env.mesh.num_vertices
+                    < cfg.agent.goal_vertices * env.initial_num_nodes
+                ):
+                    reason = "vertex_floor"
                 if (
                     opts.verified
                     and opts.complete_traj

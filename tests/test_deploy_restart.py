@@ -39,7 +39,7 @@ class TestDeployRestart:
 
         calls = {"n": 0}
 
-        def fake_run_sim(mesh, config, _kill_at=None):
+        def fake_run_sim(mesh, config, _kill_at=None, **kw):
             calls["n"] += 1
             if _kill_at is not None and calls["n"] == _kill_at:
                 raise KeyboardInterrupt("simulated kill mid-re-simulation")
@@ -49,7 +49,7 @@ class TestDeployRestart:
 
         # --- run 1: killed during the SECOND removal's re-simulation ------
         monkeypatch.setattr(
-            dep_mod, "run_sim", lambda m, c: fake_run_sim(m, c, _kill_at=2)
+            dep_mod, "run_sim", lambda m, c, **kw: fake_run_sim(m, c, _kill_at=2)
         )
         opts = DeployOptions(complete_traj=True, end_plots=False)
         dep = Deployer(cfg, ground_truth, params1, options=opts, topk=0.1)

@@ -40,7 +40,7 @@ class TestVerifiedDeploy:
         calls = {"n": 0}
         removed_rows = []
 
-        def fake_run_sim(mesh, config):
+        def fake_run_sim(mesh, config, **kw):
             calls["n"] += 1
             if calls["n"] == 2:
                 # Second re-sim (= second removal attempt) breaches the
