@@ -443,6 +443,14 @@ class IPCSConfig:
     # gather layout, kept for comparison/fallback; also the automatic
     # fallback when the RCM bandwidth is too large for dense blocks.
     cg_layout: str = "banded"
+    # Storage dtype for the banded matvec operators (A1/A3/R1/P1m/BT/Ms/G):
+    # 'f32' or 'bf16'.  bf16 halves the dominant HBM traffic of the
+    # bandwidth-bound PCG matvecs (measured 0.330 -> 0.232 ms/matvec at the
+    # finest sweep row, scripts/banded_formulation_bench.py) with f32
+    # accumulation; preconditioners, vectors and the pressure block stay
+    # f32.  Promotion is gated on the 5000-step drag/lift accuracy check
+    # (scripts/bf16_banded_gate.py).
+    cg_banded_dtype: str = "f32"
     # PCG preconditioner: 'jacobi' (pointwise diagonal) or 'block'
     # (ops/cg.BlockJacobi — dense inverses of cg_block_size diagonal
     # blocks in the RCM ordering; one batched MXU contraction per
@@ -786,7 +794,8 @@ class IPCSSolver:
             d3 = A3p.diagonal()
             d1pc = jnp.asarray(np.where(d1 != 0, 1.0 / np.where(d1 != 0, d1, 1.0), 1.0), dtype=wdt)
             d3pc = jnp.asarray(np.where(d3 != 0, 1.0 / np.where(d3 != 0, d3, 1.0), 1.0), dtype=wdt)
-        band = partial(BandedMatrix.from_scipy, dtype=wdt)
+        bdt = jnp.bfloat16 if cfg.cg_banded_dtype == "bf16" else wdt
+        band = partial(BandedMatrix.from_scipy, dtype=bdt)
         self.dev = BandedCGOperators(
             A1bc=band(A1p),
             d1inv=d1pc,
