@@ -397,6 +397,21 @@ class Trainer:
                     ],
                     pad_to=n_envs,
                 )
+            # Deferred optimizer flush (sweep pipelining): the gradient
+            # batches queued during the PREVIOUS sweep's completes are
+            # dispatched here, after this sweep's batched env calls are in
+            # flight — the flush's H2D + dispatch latency hides behind the
+            # products compute instead of extending the sweep.  Ordering
+            # is preserved where it matters: the flush still lands BEFORE
+            # this sweep's pushes (replay parity is unchanged) and before
+            # the NEXT sweep's action selection (the greedy policy is one
+            # sweep staler than the eager flush — far fresher than the
+            # reference's first-ready async PS, airfoil_dqn.py:331-336).
+            if timing:
+                _t1 = time.time()
+            self._flush_optimize()
+            if timing:
+                tacc["opt"] += time.time() - _t1; _t0 += time.time() - _t1
             if prod_handle is not None:
                 try:
                     outs = self._shared_transfer.run_products_batched_finish(
@@ -508,13 +523,18 @@ class Trainer:
                     self._flush_optimize()
                     self.metrics.write()
                     self._save_checkpoint()
+                    if timing:
+                        print(
+                            {k: round(v, 2) for k, v in tacc.items()},
+                            flush=True,
+                        )
                     return self.summary(t_start)
             else:
+                # NOTE: no flush here — the sweep's queued gradient batches
+                # are dispatched at the top of the NEXT sweep, overlapped
+                # with its batched env calls (see deferred flush above).
                 if timing:
-                    tacc["done"] += time.time() - _t0; _t0 = time.time()
-                self._flush_optimize()
-                if timing:
-                    tacc["opt"] += time.time() - _t0
+                    tacc["done"] += time.time() - _t0
                     tacc["sweeps"] += 1
                     if tacc["sweeps"] % 10 == 0:
                         print({k: round(v, 2) for k, v in tacc.items()}, flush=True)
