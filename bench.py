@@ -226,19 +226,23 @@ def _large_mesh_probe(time_left_s: float) -> dict:
 
     ring = airfoil_polyline(read_xdmf(MESH))
     mesh = smooth(generate_channel_mesh(ring, 0.05), 50)
-    t0 = time.time()
-    solver = IPCSSolver(
-        mesh,
-        IPCSConfig(
-            precision="f32", fused=False, method="cg", cg_chunk=25,
-            # Round-4 production setting: block-Jacobi PCG (nb=128 dense
-            # RCM-diagonal block inverses) at (6,5) iterations — measured
-            # drag-equal to Jacobi (15,12) to 1.1e-5 rel at 500 steps and
-            # 1.80x faster per step (scripts/block_precond_study.py).
-            cg_iters_u=6, cg_iters_m=5, invert_on_device=True,
-            cg_precond="block", cg_block_size=128,
-        ),
+    cfg = IPCSConfig(
+        precision="f32", fused=False, method="cg", cg_chunk=25,
+        # Round-4 production setting: block-Jacobi PCG (nb=128 dense
+        # RCM-diagonal block inverses) at (6,5) iterations — measured
+        # drag-equal to Jacobi (15,12) to 1.1e-5 rel at 500 steps and
+        # 1.80x faster per step (scripts/block_precond_study.py).
+        cg_iters_u=6, cg_iters_m=5, invert_on_device=True,
+        cg_precond="block", cg_block_size=128,
     )
+    t0 = time.time()
+    IPCSSolver(mesh, cfg)
+    setup_cold_s = time.time() - t0
+    # Warm rebuild (compiles amortized by the in-process jit cache /
+    # persistent disk cache) — the steady-state per-mesh setup cost, same
+    # split the fused small-mesh setup reports (setup_warm_s).
+    t0 = time.time()
+    solver = IPCSSolver(mesh, cfg)
     setup_s = time.time() - t0
     # Warm the chunked evolve (compile), then time a 400-step run.
     st, d, _ = solver.evolve(solver.initial_state(), 25)
@@ -257,6 +261,7 @@ def _large_mesh_probe(time_left_s: float) -> dict:
         "large_mesh_step_ms": round(step_ms, 2),
         "large_mesh_est_5000step_s": round(est_5000, 1),
         "large_mesh_setup_s": round(setup_s, 1),
+        "large_mesh_setup_cold_s": round(setup_cold_s, 1),
         "vs_baseline_large_mesh": round(403.15 / est_5000, 2),
         "large_mesh_baseline_s": 403.15,
     }
