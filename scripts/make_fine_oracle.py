@@ -84,7 +84,11 @@ def main(argv=None):
         )
     else:
         solver_tag = f"f64-cg-{backend}"
-        cfg = IPCSConfig(precision="f64", method="cg")
+        # cg_layout='ell' on CPU: the banded dense-block layout is a TPU
+        # layout (VPU multiply-reduce at HBM bandwidth); on CPU its fill
+        # costs ~9x the CSR/ELL flops (measured r5: 2.5 h CPU vs the r2
+        # ELL oracle's ~1000 s at comparable size).
+        cfg = IPCSConfig(precision="f64", method="cg", cg_layout="ell")
     print(
         f"{args.airfoil}: {mesh.num_vertices} verts from {mesh_path} "
         f"(sha8={sha8}), solver={solver_tag}",
