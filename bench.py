@@ -90,14 +90,15 @@ def pause_trainers(run_root: str | None = None, timeout_s: float = 600.0) -> lis
     # host-bound sweep-prep phase — measured 21.5/28.2 vs 15.4-18.2
     # ms/env-step with it stopped).  resume_trainers sends SIGCONT.
     opid = os.path.join(run_root, "ORACLE.pid")
-    if _pid_alive(opid):
-        try:
-            import signal
+    if os.path.exists(opid):
+        import signal
 
-            os.kill(int(open(opid).read().split()[0]), signal.SIGSTOP)
-            log(f"stopped background oracle ({opid})")
-        except (OSError, ValueError):
-            pass
+        for tok in open(opid).read().split():
+            try:
+                os.kill(int(tok), signal.SIGSTOP)
+                log(f"stopped background oracle pid {tok}")
+            except (OSError, ValueError):
+                pass
     pending: dict[str, str] = {}  # PAUSE path -> run dir
     now = time.time()
     for d in sorted(glob.glob(os.path.join(run_root, "*"))):
@@ -167,13 +168,14 @@ def resume_trainers(acks: list[str]) -> None:
     # Wake a SIGSTOPped background oracle (see pause_trainers).
     opid = os.path.join(REPO, "training_results", "ORACLE.pid")
     if os.path.exists(opid):
-        try:
-            import signal
+        import signal
 
-            os.kill(int(open(opid).read().split()[0]), signal.SIGCONT)
-            log("resumed background oracle")
-        except (OSError, ValueError):
-            pass
+        for tok in open(opid).read().split():
+            try:
+                os.kill(int(tok), signal.SIGCONT)
+                log(f"resumed background oracle pid {tok}")
+            except (OSError, ValueError):
+                pass
 
 
 # v5e peak HBM bandwidth; the fused IPCS step is bandwidth-bound (one pass
