@@ -101,6 +101,17 @@ def main(argv=None):
         cfg.flow.precision = "f32" if jax.default_backend() == "tpu" else "f64"
     else:
         cfg.flow.precision = args.precision
+    user_set_pad = any(o.startswith("flow.pad_quantum=") for o in args.overrides)
+    if cfg.flow.pad_quantum == 0 and not user_set_pad and (
+        jax.default_backend() == "tpu"
+    ):
+        # Training never re-simulates, so pack configs ship pad_quantum=0;
+        # deploy re-simulations without it pay a fresh remote compile per
+        # removal (~60 s vs 8.6 s measured, r5).  Quantized padding is
+        # mathematically exact (tests/test_solver.py::TestPadQuantum);
+        # pass flow.pad_quantum=0 explicitly to disable.
+        cfg.flow.pad_quantum = 128
+        print("deploy: defaulting flow.pad_quantum=128 on TPU (compile reuse)")
     base = os.path.join(cfg.save_dir, cfg.prefix.rstrip("_"))
 
     # Validate/refresh the cached ground truth exactly as the trainer does
