@@ -362,12 +362,64 @@ def _episode_throughput() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _episode_throughput_subprocess() -> dict:
+    """Run _episode_throughput in a FRESH process and parse its JSON line.
+
+    The axon remote worker degrades with accumulated solver instances in
+    one client (docs/AXON.md): after this bench's four solve sections the
+    in-process episode measurement reads 21-28 ms/env-step where a fresh
+    client measures 15.4-18.2 on identical code (r5).  A subprocess gives
+    the episode metric its own client, which is also how training actually
+    runs (cli.train is a dedicated process)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["BENCH_EPISODE_ONLY"] = "1"
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=REPO,
+    )
+    for line in res.stdout.splitlines():
+        if "throughput" in line:
+            log(line.strip())  # forward the trials detail to this log
+    for line in reversed(res.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return _json.loads(line)
+    log(f"episode subprocess produced no JSON (rc={res.returncode}); "
+        "falling back in-process")
+    return _episode_throughput()
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_EPISODE_ONLY"):
+        import json as _json
+
+        print(_json.dumps(_episode_throughput()), flush=True)
+        return
 
     backend = jax.default_backend()
     precision = "f32" if backend == "tpu" else "f64"
     log(f"backend={backend} precision={precision}")
+
+    # Episode throughput FIRST, in a fresh subprocess: the remote worker
+    # degrades with accumulated solver instances SERVER-side (docs/AXON.md)
+    # — measured 16.9 ms/env-step before this bench's four solve sections
+    # vs 24.1 on identical code immediately after them (r5).
+    episode = {}
+    if backend == "tpu":
+        try:
+            episode = _episode_throughput_subprocess()
+        except Exception as e:
+            log(f"episode throughput measurement failed: {e!r}")
 
     from meshdqn_tpu.mesh import read_xdmf, smooth
     from meshdqn_tpu.solver import IPCSConfig, IPCSSolver
@@ -411,11 +463,11 @@ def main():
     ah_rel_lift = abs((ah_lift - AH_REF_LIFT) / AH_REF_LIFT)
     log(f"wall={ah_wall:.2f}s drag={ah_drag:.7f} rel_err={ah_rel:.2e}")
 
-    episode = {}
-    try:
-        episode = _episode_throughput()
-    except Exception as e:  # never lose the solver metrics to the RL path
-        log(f"episode throughput measurement failed: {e!r}")
+    if not episode:
+        try:
+            episode = _episode_throughput()
+        except Exception as e:  # never lose the solver metrics to the RL path
+            log(f"episode throughput measurement failed: {e!r}")
 
     large = {}
     try:
@@ -459,8 +511,9 @@ def main():
 if __name__ == "__main__":
     # Pause the trainers BEFORE arming the deadline: a slow quiesce must not
     # eat the solve budget, and the finally below releases the pause on
-    # every path (including the deadline).
-    _acks = pause_trainers()
+    # every path (including the deadline).  The BENCH_EPISODE_ONLY
+    # subprocess skips the quiesce — its parent bench already holds it.
+    _acks = [] if os.environ.get("BENCH_EPISODE_ONLY") else pause_trainers()
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(DEADLINE_S)
     try:
